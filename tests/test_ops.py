@@ -1,0 +1,130 @@
+"""ops layer: voxel reductions, kNN, masked selection, range projection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mloam_tpu.core import rangeimage as ri
+from mloam_tpu.ops import knn as knn_ops
+from mloam_tpu.ops import select, voxel
+
+
+class TestVoxel:
+    def test_downsample_merges_same_cell(self):
+        xyz = jnp.array(
+            [[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [5.0, 5.0, 5.0], [9.0, 0.0, 0.0]]
+        )
+        mask = jnp.array([True, True, True, False])
+        out, m, _ = voxel.voxel_downsample(xyz, mask, leaf=0.5)
+        assert int(m.sum()) == 2
+        got = np.sort(np.asarray(out[m]), axis=0)
+        want = np.sort(np.array([[0.015, 0.015, 0.015], [5.0, 5.0, 5.0]]), axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_downsample_matches_bruteforce(self):
+        key = jax.random.PRNGKey(0)
+        xyz = jax.random.uniform(key, (500, 3), minval=-10, maxval=10)
+        mask = jnp.arange(500) < 400
+        leaf = 1.0
+        out, m, _ = voxel.voxel_downsample(xyz, mask, leaf)
+        # brute force with numpy
+        pts = np.asarray(xyz[:400])
+        cells = {}
+        for p in pts:
+            k = tuple(np.floor(p / leaf).astype(int))
+            cells.setdefault(k, []).append(p)
+        want = np.sort(np.array([np.mean(v, 0) for v in cells.values()]), axis=0)
+        got = np.sort(np.asarray(out[m]), axis=0)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_cov_filter_weights_and_rejection(self):
+        # two points in one cell: one high-cov (rejected), two weighted
+        xyz = jnp.array([[0.0, 0, 0], [0.1, 0, 0], [0.2, 0, 0]])
+        cov = jnp.stack(
+            [0.1 * jnp.eye(3), 0.3 * jnp.eye(3), 5.0 * jnp.eye(3)]
+        )  # traces 0.3, 0.9, 15 (reject)
+        mask = jnp.ones(3, bool)
+        out_xyz, out_cov, m, _ = voxel.voxel_downsample_with_cov(
+            xyz, cov, mask, leaf=1.0, trace_threshold=2.0
+        )
+        assert int(m.sum()) == 1
+        w1, w2 = 2.0 - 0.3, 2.0 - 0.9
+        want = (w1 * xyz[0] + w2 * xyz[1]) / (w1 + w2)
+        np.testing.assert_allclose(out_xyz[0], want, atol=1e-6)
+        want_cov = (w1**2 * cov[0] + w2**2 * cov[1]) / (w1 + w2) ** 2
+        np.testing.assert_allclose(out_cov[0], want_cov, atol=1e-6)
+
+
+class TestKNN:
+    def test_matches_bruteforce(self):
+        kq, kr = jax.random.split(jax.random.PRNGKey(1))
+        q = jax.random.normal(kq, (64, 3))
+        r = jax.random.normal(kr, (300, 3)) * 2
+        mask = jnp.arange(300) < 250
+        d, i = knn_ops.knn(q, r, mask, k=5, chunk=128)
+        dn = np.array(knn_ops.pairwise_sqdist(q, r))
+        dn[:, 250:] = np.inf
+        want_i = np.argsort(dn, axis=1)[:, :5]
+        want_d = np.take_along_axis(dn, want_i, 1)
+        np.testing.assert_allclose(np.sort(d, 1), np.sort(want_d, 1), atol=1e-4)
+        # distances must match (indices can differ on ties)
+        np.testing.assert_allclose(
+            np.take_along_axis(dn, np.asarray(i), 1), np.asarray(d), atol=1e-4
+        )
+
+    def test_single_chunk_path(self):
+        q = jnp.array([[0.0, 0, 0]])
+        r = jnp.array([[1.0, 0, 0], [0.1, 0, 0], [2.0, 0, 0]])
+        d, i = knn_ops.knn(q, r, jnp.ones(3, bool), k=2)
+        assert i[0, 0] == 1 and i[0, 1] == 0
+        np.testing.assert_allclose(d[0], [0.01, 1.0], atol=1e-6)
+
+
+class TestSelect:
+    def test_masked_top_k(self):
+        s = jnp.array([3.0, 9.0, 1.0, 7.0])
+        m = jnp.array([True, False, True, True])
+        vals, idx, valid = select.masked_top_k(s, m, 2)
+        assert list(idx) == [3, 0]
+        assert valid.all()
+
+    def test_compact_by_mask(self):
+        v = jnp.arange(6, dtype=jnp.float32)[:, None]
+        m = jnp.array([False, True, False, True, True, False])
+        out, nm = select.compact_by_mask(v, m)
+        assert list(out[:3, 0]) == [1.0, 3.0, 4.0]
+        assert nm[:3].all() and not nm[3:].any()
+
+
+class TestRangeImage:
+    def test_project_roundtrip(self):
+        model = ri.LidarModel(n_rings=16, n_cols=360)
+        # synthesize points exactly on the grid
+        rings = jnp.arange(16)
+        vert = jnp.deg2rad(-15 + 2.0 * rings)
+        az = jnp.deg2rad(jnp.arange(360, dtype=jnp.float32) - 179.5)
+        rng = 5.0
+        pts = jnp.stack(
+            jnp.broadcast_arrays(
+                rng * jnp.cos(vert)[:, None] * jnp.cos(az)[None, :],
+                rng * jnp.cos(vert)[:, None] * jnp.sin(az)[None, :],
+                rng * jnp.sin(vert)[:, None] * jnp.ones((1, 360)),
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+        img = ri.project(pts, jnp.ones(pts.shape[0], bool), model)
+        assert bool(img.valid.all())
+        np.testing.assert_allclose(img.rng, rng, atol=1e-4)
+
+    def test_collision_keeps_closest(self):
+        model = ri.LidarModel(n_rings=16, n_cols=360)
+        pts = jnp.array([[5.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+        img = ri.project(pts, jnp.ones(2, bool), model)
+        assert float(img.rng.max()) == 2.0
+
+    def test_out_of_fov_dropped(self):
+        model = ri.LidarModel(n_rings=16, n_cols=360)
+        pts = jnp.array([[1.0, 0.0, 5.0]])  # way above +15 deg
+        img = ri.project(pts, jnp.ones(1, bool), model)
+        assert not bool(img.valid.any())
