@@ -1,0 +1,164 @@
+"""Typed configuration tree.
+
+Replaces the reference's two-tier config system (gflags + yaml loaded via
+cv::FileStorage into ~60 mutable globals, ``estimator/src/estimator/
+parameters.cpp:123-294`` / ``parameters.h:45-134``) with one immutable
+dataclass tree. Static fields (shapes, window sizes, iteration counts) are
+compile-time constants baked into the jitted programs; runtime-tunable scalars
+(thresholds, resolutions) ride along as ordinary floats.
+
+Per-platform presets live in ``mloam_tpu/models/platforms.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from mloam_tpu.core.rangeimage import LidarModel
+
+
+@dataclass(frozen=True)
+class SegmenterConfig:
+    """Range-image segmentation (reference image_segmenter.hpp params)."""
+
+    ground_rows: int = 7            # rows scanned from the bottom for ground
+    ground_angle_deg: float = 10.0  # max slope wrt horizontal to label ground
+    segment_theta_deg: float = 60.0  # BFS angle gate (reference segmentTheta)
+    min_cluster_size: int = 30
+    min_line_num: int = 3           # keep small clusters spanning >= lines
+    segment_valid_point_num: int = 5
+    label_iters: int = 24           # label-propagation rounds (BFS replacement)
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Curvature feature extraction (reference feature_extract.cpp)."""
+
+    n_sectors: int = 6
+    curvature_half_window: int = 5
+    edge_threshold: float = 0.1
+    max_sharp: int = 2              # per sector
+    max_less_sharp: int = 20        # per sector
+    max_flat: int = 4               # per sector
+    less_flat_leaf: float = 0.2     # voxel leaf for less-flat downsample
+    # capacity of the downsampled less-flat set (others derive from
+    # n_rings * n_sectors * max_*)
+    cap_less_flat: int = 4096
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Scan-to-scan odometry (reference lidar_tracker.cpp)."""
+
+    outer_iters: int = 2
+    gn_iters: int = 4
+    huber_delta: float = 0.1
+    dist_sq_threshold: float = 25.0
+    nearby_scan: float = 2.5
+    deskew: bool = True
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Sliding-window backend (reference estimator.cpp)."""
+
+    window_size: int = 6
+    opt_window_size: int = 3
+    gn_iters: int = 5
+    outer_iters: int = 2
+    max_solver_time_s: float = 0.02
+    huber_delta: float = 0.1
+    corner_map_leaf: float = 0.2
+    surf_map_leaf: float = 0.4
+    dist_sq_threshold: float = 1.0   # MIN_MATCH_SQ_DIS
+    eig_threshold: float = 50.0      # odometry degeneracy lambda init
+    gf_ratio: float = 1.0            # good-feature keep ratio (1.0 = all)
+    cap_local_corner: int = 8192
+    cap_local_surf: int = 16384
+
+
+@dataclass(frozen=True)
+class CalibConfig:
+    """Online extrinsic calibration (reference initial_extrinsics.cpp +
+    estimator.cpp calib branch)."""
+
+    n_pose_buffer: int = 300
+    screw_rot_epsilon: float = 0.05
+    screw_trans_epsilon: float = 0.1
+    rot_converge_sv: float = 0.25    # 2nd-smallest singular value gate
+    planar: bool = False
+    n_calib_samples: int = 25
+    lambda_threshold: float = 70.0   # per-frame calib observability gate
+    n_cumu_frames: int = 10          # accumulate frames per calib factor batch
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Keyframe mapping backend (reference lidar_mapper_keyframe.cpp)."""
+
+    corner_leaf: float = 0.2
+    surf_leaf: float = 0.4
+    outlier_leaf: float = 0.8
+    keyframe_leaf: float = 1.0
+    surround_radius: float = 50.0
+    keyframe_dist: float = 1.0
+    keyframe_angle_deg: float = 1.0
+    outer_iters: int = 2
+    gn_iters: int = 10
+    eig_threshold: float = 100.0
+    trace_threshold: float = 10.0    # reject points with cov trace above
+    voxel_trace_threshold: float = 2.0
+    max_keyframes: int = 512
+    cap_map_corner: int = 32768
+    cap_map_surf: int = 65536
+    gf_method: str = "full"          # full | rnd | gd (good-feature selection)
+    gf_ratio: float = 1.0
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure (reference mloam_loop)."""
+
+    sc_num_rings: int = 20
+    sc_num_sectors: int = 60
+    sc_max_radius: float = 80.0
+    sc_dist_threshold: float = 0.13
+    num_exclude_recent: int = 50
+    num_candidates: int = 10
+    loop_distance_threshold: float = 30.0
+    history_search_num: int = 25
+    skip_interval: int = 5
+    pgo_gn_iters: int = 10
+
+
+@dataclass(frozen=True)
+class LidarRig:
+    """Multi-LiDAR rig: sensor models + extrinsic priors (base <- lidar i).
+
+    ``extrinsic_mode`` mirrors the reference ESTIMATE_EXTRINSIC:
+      2 = no prior, full online calibration; 1 = refine a rough prior;
+      0 = extrinsics fixed.
+    """
+
+    models: tuple[LidarModel, ...] = (LidarModel(),)
+    extrinsic_mode: int = 0
+
+    @property
+    def n_lidars(self) -> int:
+        return len(self.models)
+
+
+@dataclass(frozen=True)
+class MloamConfig:
+    rig: LidarRig = field(default_factory=LidarRig)
+    segmenter: SegmenterConfig = field(default_factory=SegmenterConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    odometry: OdometryConfig = field(default_factory=OdometryConfig)
+    calib: CalibConfig = field(default_factory=CalibConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+
+    def replace(self, **kw) -> "MloamConfig":
+        return dataclasses.replace(self, **kw)

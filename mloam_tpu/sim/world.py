@@ -1,0 +1,237 @@
+"""Synthetic multi-LiDAR world: analytic ray-casting against plane/cylinder
+primitives along a smooth trajectory.
+
+Role: the deterministic replay fixture of this framework — the counterpart of
+the reference's SR Gazebo-simulation bags (``rosNodeSR.cpp:164-192`` consumes
+``/base_odom_gt``) and its bag generators (``mloam_test/src/
+test_generate_bag_*``). Every integration test and ATE gate runs against
+sequences rendered here, with exact ground truth and exact per-point sweep
+timing, so accuracy regressions are attributable.
+
+The world is built from finite rectangles (ground, building walls) and
+vertical cylinders (poles, trunks) — structure that exercises both LOAM
+feature classes: planar patches and sharp vertical edges (wall corners, pole
+silhouettes). Scans are rendered with intra-sweep motion distortion: each
+azimuth column is ray-cast from the interpolated sensor pose at its firing
+time, and ranges are reported in the sensor frame at that time — exactly what
+a spinning LiDAR measures.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mloam_tpu.core import rotations as rot
+from mloam_tpu.core import se3
+from mloam_tpu.core.rangeimage import LidarModel, RangeImage, from_grid
+from mloam_tpu.core.se3 import Pose
+
+_BIG = 1e9
+
+
+class World(NamedTuple):
+    rect_center: jnp.ndarray  # [P, 3]
+    rect_u: jnp.ndarray       # [P, 3] half-extent vector 1
+    rect_v: jnp.ndarray       # [P, 3] half-extent vector 2
+    rect_mask: jnp.ndarray    # [P]
+    cyl_xyr: jnp.ndarray      # [Q, 3] center x, y, radius
+    cyl_z: jnp.ndarray        # [Q, 2] zmin, zmax
+    cyl_mask: jnp.ndarray     # [Q]
+
+
+def make_world(
+    key: jax.Array,
+    extent: float = 40.0,
+    n_walls: int = 24,
+    n_poles: int = 12,
+    wall_height: float = 4.0,
+) -> World:
+    """Random structured world: big ground plane, vertical walls at random
+    yaw, vertical poles. Deterministic in the key."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # ground
+    ground_c = jnp.array([[0.0, 0.0, 0.0]])
+    ground_u = jnp.array([[extent * 2.0, 0.0, 0.0]])
+    ground_v = jnp.array([[0.0, extent * 2.0, 0.0]])
+
+    # walls: random center (ring between 6 and extent), random yaw, random len
+    r = jax.random.uniform(k1, (n_walls,), minval=6.0, maxval=extent)
+    ang = jax.random.uniform(k2, (n_walls,), minval=-jnp.pi, maxval=jnp.pi)
+    yaw = jax.random.uniform(k3, (n_walls,), minval=-jnp.pi, maxval=jnp.pi)
+    half_len = jax.random.uniform(k4, (n_walls,), minval=2.0, maxval=8.0)
+    wc = jnp.stack([r * jnp.cos(ang), r * jnp.sin(ang),
+                    jnp.full((n_walls,), wall_height / 2)], -1)
+    wu = jnp.stack([half_len * jnp.cos(yaw), half_len * jnp.sin(yaw),
+                    jnp.zeros(n_walls)], -1)
+    wv = jnp.stack([jnp.zeros(n_walls), jnp.zeros(n_walls),
+                    jnp.full((n_walls,), wall_height / 2)], -1)
+
+    rect_c = jnp.concatenate([ground_c, wc])
+    rect_u = jnp.concatenate([ground_u, wu])
+    rect_v = jnp.concatenate([ground_v, wv])
+    rect_mask = jnp.ones(rect_c.shape[0], bool)
+
+    k5, k6 = jax.random.split(k4)
+    pr = jax.random.uniform(k5, (n_poles,), minval=4.0, maxval=extent * 0.8)
+    pang = jax.random.uniform(k6, (n_poles,), minval=-jnp.pi, maxval=jnp.pi)
+    cyl_xyr = jnp.stack(
+        [pr * jnp.cos(pang), pr * jnp.sin(pang), jnp.full((n_poles,), 0.25)], -1
+    )
+    cyl_z = jnp.broadcast_to(jnp.array([0.0, 5.0]), (n_poles, 2))
+    return World(rect_c, rect_u, rect_v, rect_mask, cyl_xyr, cyl_z,
+                 jnp.ones(n_poles, bool))
+
+
+def _raycast_rects(world: World, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Min positive hit distance against all rectangles. o,d: [N,3] -> [N]."""
+    c, u, v = world.rect_center, world.rect_u, world.rect_v
+    n = jnp.cross(u, v)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    # t = (c - o)·n / d·n   per (ray, rect)
+    denom = jnp.einsum("nk,pk->np", d, n)
+    numer = jnp.einsum("pk,pk->p", c, n)[None, :] - jnp.einsum("nk,pk->np", o, n)
+    t = numer / jnp.where(jnp.abs(denom) < 1e-9, jnp.inf, denom)
+    hit = o[:, None, :] + t[..., None] * d[:, None, :] - c[None, :, :]
+    ulen2 = jnp.sum(u * u, -1)
+    vlen2 = jnp.sum(v * v, -1)
+    pu = jnp.einsum("npk,pk->np", hit, u)
+    pv = jnp.einsum("npk,pk->np", hit, v)
+    inside = (jnp.abs(pu) <= ulen2[None, :]) & (jnp.abs(pv) <= vlen2[None, :])
+    ok = inside & (t > 0.05) & world.rect_mask[None, :]
+    return jnp.min(jnp.where(ok, t, _BIG), axis=1)
+
+
+def _raycast_cyls(world: World, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Min positive hit distance against vertical cylinders. [N,3] -> [N]."""
+    cxy = world.cyl_xyr[:, :2]
+    rad = world.cyl_xyr[:, 2]
+    oxy = o[:, None, :2] - cxy[None, :, :]
+    dxy = d[:, None, :2]
+    a = jnp.sum(dxy * dxy, -1)
+    b = 2.0 * jnp.sum(oxy * dxy, -1)
+    cc = jnp.sum(oxy * oxy, -1) - (rad ** 2)[None, :]
+    disc = b * b - 4 * a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    t0 = (-b - sq) / (2 * a_safe)
+    t1 = (-b + sq) / (2 * a_safe)
+    t = jnp.where(t0 > 0.05, t0, t1)
+    z = o[:, None, 2] + t * d[:, None, 2]
+    ok = (
+        (disc > 0)
+        & (t > 0.05)
+        & (z >= world.cyl_z[None, :, 0])
+        & (z <= world.cyl_z[None, :, 1])
+        & world.cyl_mask[None, :]
+    )
+    return jnp.min(jnp.where(ok, t, _BIG), axis=1)
+
+
+def raycast(world: World, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """[N] min positive range, _BIG where no hit."""
+    return jnp.minimum(_raycast_rects(world, o, d), _raycast_cyls(world, o, d))
+
+
+def sensor_rays(model: LidarModel, dtype=jnp.float32) -> jnp.ndarray:
+    """[R, C, 3] unit ray directions in the sensor frame."""
+    r, c = model.n_rings, model.n_cols
+    vert = jnp.deg2rad(
+        jnp.linspace(model.fov_down_deg, model.fov_up_deg, r, dtype=dtype)
+    )
+    az = (jnp.arange(c, dtype=dtype) + 0.5) / c * 2 * jnp.pi - jnp.pi
+    cv, sv = jnp.cos(vert)[:, None], jnp.sin(vert)[:, None]
+    ca, sa = jnp.cos(az)[None, :], jnp.sin(az)[None, :]
+    return jnp.stack(
+        [cv * ca, cv * sa, jnp.broadcast_to(sv, (r, c))], axis=-1
+    )
+
+
+def render_scan(
+    world: World,
+    pose_start: Pose,
+    pose_end: Pose,
+    model: LidarModel,
+) -> RangeImage:
+    """Render one distorted sweep.
+
+    Column j fires at s = j/C into the sweep, from pose interp(start, end, s);
+    the returned xyz is in the *sensor frame at firing time* (what the device
+    measures), gridded [R, C].
+    """
+    r, c = model.n_rings, model.n_cols
+    dirs_s = sensor_rays(model)  # [R, C, 3]
+    s = (jnp.arange(c, dtype=jnp.float32) + 0.5) / c
+    pose_cols = se3.interpolate(
+        Pose(jnp.broadcast_to(pose_start.q, (c, 4)), jnp.broadcast_to(pose_start.t, (c, 3))),
+        Pose(jnp.broadcast_to(pose_end.q, (c, 4)), jnp.broadcast_to(pose_end.t, (c, 3))),
+        s,
+    )
+    d_world = rot.quat_rotate(pose_cols.q[None, :, :], dirs_s)  # [R, C, 3]
+    o_world = jnp.broadcast_to(pose_cols.t[None, :, :], (r, c, 3))
+    t_hit = raycast(world, o_world.reshape(-1, 3), d_world.reshape(-1, 3))
+    t_hit = t_hit.reshape(r, c)
+    valid = (t_hit < model.max_range) & (t_hit > model.min_range)
+    xyz = jnp.where(valid[..., None], t_hit[..., None] * dirs_s, 0.0)
+    return from_grid(xyz, valid)
+
+
+class Trajectory(NamedTuple):
+    """Smooth parametric trajectory: position/yaw as sums of sinusoids."""
+
+    amp: jnp.ndarray    # [K, 3] xyz amplitudes
+    freq: jnp.ndarray   # [K] rad/s
+    phase: jnp.ndarray  # [K, 3]
+    yaw_rate: float
+
+    def pose(self, t) -> Pose:
+        t = jnp.asarray(t, jnp.float32)
+        arg = self.freq[:, None] * t[..., None, None] + self.phase
+        pos = jnp.sum(self.amp * jnp.sin(arg), axis=-2)
+        pos = pos.at[..., 2].set(0.6 + 0.05 * jnp.sum(jnp.sin(arg[..., 2]), -1))
+        yaw = self.yaw_rate * t
+        q = rot.so3_exp_quat(
+            jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], -1)
+        )
+        return Pose(q, pos)
+
+
+def make_trajectory(key: jax.Array, speed_scale: float = 1.0) -> Trajectory:
+    k1, k2 = jax.random.split(key)
+    amp = jnp.array([[6.0, 4.0, 0.3], [1.5, 2.0, 0.2], [0.4, 0.3, 0.1]]) * speed_scale
+    freq = jnp.array([0.11, 0.31, 0.83])
+    phase = jax.random.uniform(k1, (3, 3), minval=0, maxval=2 * jnp.pi)
+    yaw_rate = float(0.25 * speed_scale)
+    return Trajectory(amp, freq, phase, yaw_rate)
+
+
+def render_sequence(
+    world: World,
+    traj: Trajectory,
+    model: LidarModel,
+    n_frames: int,
+    extrinsic: Pose | None = None,
+    t0: float = 0.0,
+):
+    """Render n_frames sweeps for one lidar mounted at ``extrinsic``
+    (base <- lidar). Returns (RangeImage stacked [F, ...], gt base poses
+    Pose[F] at sweep starts)."""
+    if extrinsic is None:
+        extrinsic = Pose.identity()
+    dt = model.scan_period
+
+    def one(i):
+        ts = t0 + i * dt
+        base0 = traj.pose(ts)
+        base1 = traj.pose(ts + dt)
+        p0 = se3.compose(base0, extrinsic)
+        p1 = se3.compose(base1, extrinsic)
+        img = render_scan(world, p0, p1, model)
+        return img, base0
+
+    idx = jnp.arange(n_frames, dtype=jnp.float32)
+    imgs, poses = jax.lax.map(one, idx)
+    return imgs, poses

@@ -1,0 +1,163 @@
+"""Frontend: segmentation + feature extraction on a simulated sweep with
+known geometry — flat features must lie on world planes, sharp features near
+vertical structure edges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mloam_tpu.config import FeatureConfig, SegmenterConfig
+from mloam_tpu.core import se3
+from mloam_tpu.core.rangeimage import LidarModel, RangeImage
+from mloam_tpu.frontend import features, segmentation
+from mloam_tpu.sim import world as W
+
+MODEL = LidarModel(n_rings=16, n_cols=1800)
+
+
+@pytest.fixture(scope="module")
+def frame():
+    w = W.make_world(jax.random.PRNGKey(0))
+    traj = W.make_trajectory(jax.random.PRNGKey(1))
+    imgs, poses = W.render_sequence(w, traj, MODEL, 1)
+    img = RangeImage(*[x[0] for x in imgs])
+    pose = se3.Pose(poses.q[0], poses.t[0])
+    return w, img, pose
+
+
+@pytest.fixture(scope="module")
+def extracted(frame):
+    w, img, pose = frame
+    seg = segmentation.segment(img, MODEL, SegmenterConfig())
+    ff = features.extract(img, seg.segmented, FeatureConfig())
+    return seg, ff
+
+
+def plane_distances(world, pts_world):
+    """Min distance of each point to any world rectangle's plane (only when
+    inside the rectangle bounds, else inf)."""
+    c = np.asarray(world.rect_center)
+    u = np.asarray(world.rect_u)
+    v = np.asarray(world.rect_v)
+    n = np.cross(u, v)
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    rel = pts_world[:, None, :] - c[None]
+    dn = np.abs(np.einsum("npk,pk->np", rel, n))
+    pu = np.abs(np.einsum("npk,pk->np", rel, u)) / np.sum(u * u, -1)
+    pv = np.abs(np.einsum("npk,pk->np", rel, v)) / np.sum(v * v, -1)
+    inside = (pu <= 1.02) & (pv <= 1.02)
+    dn = np.where(inside, dn, np.inf)
+    return dn.min(axis=1)
+
+
+class TestSegmentation:
+    def test_partitions_are_disjoint_and_cover(self, frame, extracted):
+        _, img, _ = frame
+        seg, _ = extracted
+        ground = np.asarray(seg.ground)
+        out = np.asarray(seg.outlier)
+        kept = np.asarray(seg.segmented)
+        valid = np.asarray(img.valid)
+        assert not (ground & out).any()
+        assert (kept | out)[valid].all()
+        assert not kept[~valid].any()
+
+    def test_ground_points_are_low(self, frame, extracted):
+        _, img, pose = frame
+        seg, _ = extracted
+        g = np.asarray(seg.ground)
+        z_world = np.asarray(
+            se3.transform_points(pose, img.xyz.reshape(-1, 3))
+        ).reshape(img.valid.shape + (3,))[..., 2]
+        assert np.abs(z_world[g]).max() < 0.15
+
+    def test_most_points_kept(self, frame, extracted):
+        _, img, _ = frame
+        seg, _ = extracted
+        frac = float(seg.segmented.sum() / img.valid.sum())
+        assert frac > 0.6, f"only {frac:.2f} of valid points kept"
+
+
+class TestFeatures:
+    def test_counts_within_caps(self, extracted):
+        _, ff = extracted
+        assert 20 < int(ff.sharp.mask.sum()) <= ff.sharp.mask.shape[0]
+        assert 100 < int(ff.flat.mask.sum()) <= ff.flat.mask.shape[0]
+        assert 1000 < int(ff.less_flat.mask.sum()) <= ff.less_flat.mask.shape[0]
+
+    def test_flat_points_lie_on_planes(self, frame, extracted):
+        w, img, pose = frame
+        _, ff = extracted
+        pts = np.asarray(se3.transform_points(pose, ff.flat.xyz))[
+            np.asarray(ff.flat.mask)
+        ]
+        d = plane_distances(w, pts)
+        # de-skew is not applied here; tolerance covers intra-sweep motion
+        assert np.median(d) < 0.05
+        assert np.mean(d < 0.2) > 0.9
+
+    def test_less_flat_mostly_on_planes(self, frame, extracted):
+        w, img, pose = frame
+        _, ff = extracted
+        pts = np.asarray(se3.transform_points(pose, ff.less_flat.xyz))[
+            np.asarray(ff.less_flat.mask)
+        ]
+        d = plane_distances(w, pts)
+        assert np.mean(d < 0.2) > 0.8
+
+    def test_sharp_points_near_structure_edges(self, frame, extracted):
+        w, img, pose = frame
+        _, ff = extracted
+        pts = np.asarray(se3.transform_points(pose, ff.sharp.xyz))[
+            np.asarray(ff.sharp.mask)
+        ]
+        # edge lines: wall lateral borders (c ± u, vertical) and pole axes
+        c = np.asarray(w.rect_center)[1:]  # skip ground
+        u = np.asarray(w.rect_u)[1:]
+        edges_xy = np.concatenate([(c + u)[:, :2], (c - u)[:, :2]])
+        poles_xy = np.asarray(w.cyl_xyr)[:, :2]
+        pole_r = np.asarray(w.cyl_xyr)[:, 2]
+        d_edge = np.min(
+            np.linalg.norm(pts[:, None, :2] - edges_xy[None], axis=-1), axis=1
+        )
+        d_pole = np.min(
+            np.abs(
+                np.linalg.norm(pts[:, None, :2] - poles_xy[None], axis=-1)
+                - pole_r[None]
+            ),
+            axis=1,
+        )
+        d = np.minimum(d_edge, d_pole)
+        # wall-wall intersections are also true vertical edges: accept points
+        # lying on >= 2 distinct wall planes simultaneously
+        cw = np.asarray(w.rect_center)[1:]
+        uw = np.asarray(w.rect_u)[1:]
+        vw = np.asarray(w.rect_v)[1:]
+        n = np.cross(uw, vw)
+        n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+        rel = pts[:, None, :] - cw[None]
+        dn = np.abs(np.einsum("npk,pk->np", rel, n))
+        pu = np.abs(np.einsum("npk,pk->np", rel, uw)) / np.sum(uw * uw, -1)
+        pv = np.abs(np.einsum("npk,pk->np", rel, vw)) / np.sum(vw * vw, -1)
+        on_wall = (dn < 0.15) & (pu <= 1.05) & (pv <= 1.05)
+        at_intersection = on_wall.sum(axis=1) >= 2
+        ok = (d < 0.3) | at_intersection
+        assert np.mean(ok) > 0.8, f"sharp-to-edge fail frac {1-np.mean(ok):.3f}"
+
+    def test_feature_times_match_azimuth(self, extracted):
+        _, ff = extracted
+        m = np.asarray(ff.sharp.mask)
+        pts = np.asarray(ff.sharp.xyz)[m]
+        t = np.asarray(ff.sharp.time)[m]
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        expect = (az + np.pi) / (2 * np.pi)
+        assert np.abs(expect - t).max() < 0.01
+
+    def test_extract_jits_and_is_deterministic(self, frame):
+        w, img, pose = frame
+        seg = segmentation.segment(img, MODEL, SegmenterConfig())
+        f = jax.jit(lambda i, s: features.extract(i, s, FeatureConfig()))
+        a = f(img, seg.segmented)
+        b = f(img, seg.segmented)
+        np.testing.assert_array_equal(np.asarray(a.sharp.xyz), np.asarray(b.sharp.xyz))
