@@ -1,0 +1,129 @@
+"""Scan-to-scan LiDAR odometry tracker.
+
+Counterpart of the reference's ``LidarTracker::trackCloud``
+(``estimator/src/lidarTracker/lidar_tracker.cpp:23-129``): two outer rounds
+of {rebuild edge/plane correspondences against the previous sweep, damped GN
+over one relative pose with Huber loss}, with constant-velocity de-skew.
+
+Conventions:
+  * The tracked state T is the pose of the *current sweep start* in the
+    *previous sweep start* frame (prev <- curr).
+  * Under constant velocity, the sensor pose at sweep fraction s is
+    curr_start ∘ scale(T, s); a point p measured at s maps into the previous
+    frame as  T ∘ scale(T, s) · p.  The previous sweep's features are stored
+    already de-skewed to their own sweep start, so both sides live in
+    consistent frames.
+  * After convergence, the current features are de-skewed to the current
+    sweep start with scale(T, s) and returned for the next call.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mloam_tpu.config import TrackerConfig
+from mloam_tpu.core import rotations as rot
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.frontend.features import FeatCloud, FeatureFrame
+from mloam_tpu.solver import factors
+from mloam_tpu.solver.gauss_newton import gauss_newton
+
+
+class TrackResult(NamedTuple):
+    pose: Pose               # prev <- curr
+    cost: jnp.ndarray
+    H: jnp.ndarray           # [6, 6] final GN Hessian (degeneracy/cov input)
+    n_edge: jnp.ndarray
+    n_plane: jnp.ndarray
+
+
+def _project_to_prev(T: Pose, p: jnp.ndarray, s: jnp.ndarray,
+                     deskew: bool) -> jnp.ndarray:
+    if deskew:
+        frac = se3.scale(T, s)
+        p0 = rot.quat_rotate(frac.q, p) + frac.t
+    else:
+        p0 = p
+    return rot.quat_rotate(T.q[None, :], p0) + T.t[None, :]
+
+
+def deskew_features(T: Pose, f: FeatCloud) -> FeatCloud:
+    """De-skew a feature cloud to its sweep start using per-sweep motion T."""
+    frac = se3.scale(T, f.time)
+    xyz = rot.quat_rotate(frac.q, f.xyz) + frac.t
+    return f._replace(xyz=jnp.where(f.mask[:, None], xyz, 0.0))
+
+
+def track(
+    prev: FeatureFrame,
+    curr: FeatureFrame,
+    T_init: Pose,
+    cfg: TrackerConfig,
+) -> tuple[TrackResult, FeatureFrame]:
+    """Estimate prev <- curr. ``prev`` must hold de-skewed features.
+
+    Returns the result plus ``curr`` de-skewed for use as the next target.
+    """
+    T = T_init
+
+    def residual_fn_builder(edge_corr, plane_corr):
+        def residual_fn(Tx: Pose):
+            pe = _project_to_prev(Tx, edge_corr.p, edge_corr.s, cfg.deskew)
+            re = factors.edge_residual(pe, edge_corr)          # [Ne, 3]
+            pp = _project_to_prev(Tx, plane_corr.p, plane_corr.s, cfg.deskew)
+            rp = factors.plane_residual(pp, plane_corr)        # [Np]
+            we = factors.robust_weights(
+                jnp.sum(re * re, -1), edge_corr.w, "huber", cfg.huber_delta
+            )
+            wp = factors.robust_weights(
+                rp * rp, plane_corr.w, "huber", cfg.huber_delta
+            )
+            r = jnp.concatenate([re.reshape(-1), rp])
+            w = jnp.concatenate([jnp.repeat(we, 3), wp])
+            return r, w
+
+        return residual_fn
+
+    def retract(Tx: Pose, dx: jnp.ndarray) -> Pose:
+        return se3.boxplus(Tx, dx)
+
+    result = None
+    for _ in range(cfg.outer_iters):
+        q_edge = curr.sharp
+        q_plane = curr.flat
+        pe = _project_to_prev(T, q_edge.xyz, q_edge.time, cfg.deskew)
+        pp = _project_to_prev(T, q_plane.xyz, q_plane.time, cfg.deskew)
+        edge_corr = factors.match_scan_edge(
+            q_edge, pe, prev.less_sharp, cfg.dist_sq_threshold, cfg.nearby_scan
+        )
+        plane_corr = factors.match_scan_plane(
+            q_plane, pp, prev.less_flat, cfg.dist_sq_threshold, cfg.nearby_scan
+        )
+        st = gauss_newton(
+            residual_fn_builder(edge_corr, plane_corr),
+            T,
+            retract,
+            dim=6,
+            iters=cfg.gn_iters,
+        )
+        T = st.x
+        result = TrackResult(
+            pose=T,
+            cost=st.cost,
+            H=st.H,
+            n_edge=jnp.sum(edge_corr.w > 0),
+            n_plane=jnp.sum(plane_corr.w > 0),
+        )
+
+    if cfg.deskew:
+        curr = FeatureFrame(
+            sharp=deskew_features(T, curr.sharp),
+            less_sharp=deskew_features(T, curr.less_sharp),
+            flat=deskew_features(T, curr.flat),
+            less_flat=deskew_features(T, curr.less_flat),
+        )
+    return result, curr

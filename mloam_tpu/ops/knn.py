@@ -58,6 +58,11 @@ def knn(
     """
     nq = q.shape[0]
     nr = r.shape[0]
+    if nr < k:  # tiny reference sets: pad so top_k is well-defined
+        pad = k - nr
+        r = jnp.pad(r, ((0, pad), (0, 0)))
+        r_mask = jnp.pad(r_mask, (0, pad))
+        nr = k
     if nr <= chunk:
         d = pairwise_sqdist(q, r)
         d = jnp.where(r_mask[None, :], d, _BIG)

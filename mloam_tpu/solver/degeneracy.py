@@ -1,0 +1,53 @@
+"""Degeneracy detection + solution remapping (Zhang, "On Degeneracy of
+Optimization-based State Estimation").
+
+Counterpart of the reference's eigenvalue analysis of per-pose 6x6 Hessian
+blocks with update projection (``estimator/src/estimator/estimator.cpp:
+1598-1680``, ``lidar_tracker.cpp:131-163``, ``lidar_mapper_keyframe.cpp:
+1172-1204``) and its remapping local parameterization
+(``pose_local_parameterization.cpp:26-45``).
+
+Here the projector P = V diag(λ_i >= thr) Vᵀ is applied to each 6-dof block
+of the GN update — identical fixed-point semantics, expressed as batched
+3-line linear algebra instead of a custom Ceres manifold.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class DegeneracyInfo(NamedTuple):
+    eigvals: jnp.ndarray   # [B, 6] ascending per block
+    factor: jnp.ndarray    # [B] smallest eigenvalue (the reference's lambda)
+    degenerate: jnp.ndarray  # [B] bool — any direction below threshold
+
+
+def analyze_blocks(H: jnp.ndarray, n_blocks: int, threshold: float) -> DegeneracyInfo:
+    """Eigen-analysis of the 6x6 diagonal blocks of H [D, D]."""
+    blocks = jnp.stack(
+        [H[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6] for i in range(n_blocks)]
+    )
+    vals = jnp.linalg.eigvalsh(blocks)
+    return DegeneracyInfo(
+        eigvals=vals,
+        factor=vals[:, 0],
+        degenerate=jnp.any(vals < threshold, axis=-1),
+    )
+
+
+def remap_update(H: jnp.ndarray, dx: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Project each 6-dof block of dx onto the non-degenerate eigendirections
+    of its corresponding 6x6 diagonal block of H."""
+    d = dx.shape[0]
+    assert d % 6 == 0
+    n = d // 6
+    blocks = jnp.stack([H[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6] for i in range(n)])
+    vals, vecs = jnp.linalg.eigh(blocks)          # [n, 6], [n, 6, 6]
+    keep = (vals >= threshold).astype(dx.dtype)   # [n, 6]
+    dxb = dx.reshape(n, 6)
+    coef = jnp.einsum("nij,nj->ni", jnp.swapaxes(vecs, -1, -2), dxb)
+    proj = jnp.einsum("nij,nj->ni", vecs, coef * keep)
+    return proj.reshape(d)

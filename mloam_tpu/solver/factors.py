@@ -1,0 +1,267 @@
+"""Factor library: correspondence construction + batched residuals.
+
+TPU-native re-derivation of the reference's Ceres factors and kd-tree
+correspondence templates:
+
+  * scan-to-scan edge / plane matching  (feature_extract.hpp:132-376)
+  * map edge (eigendirection line) / map plane (LSQ fit) matching
+    (feature_extract.hpp:379-643)
+  * LidarScanPlaneNormFactor / LidarScanEdgeFactorVector with slerp-scaled
+    de-skew (lidar_scan_factor.hpp:25-343)
+  * LidarPureOdomPlaneNorm/Edge factors over (pivot pose, frame pose,
+    extrinsic) chains (lidar_pure_odom_factor.hpp:27-384)
+  * LidarOnlineCalibPlaneNorm/Edge factors (lidar_online_calib_factor.hpp)
+  * LidarMapPlaneNorm/Edge factors with covariance-trace weights
+    (lidar_map_factor.hpp:26-141)
+  * PriorFactor on extrinsics (prior_factor.hpp:27)
+
+Design: correspondences are *data* (fixed-size padded tensors built once per
+outer iteration with batched kNN), residuals are *pure functions* of poses —
+so the GN linearization differentiates through the full pose chain
+(including slerp de-skew) by autodiff, replacing each factor's hand-written
+Jacobian. Property tests compare against finite differences, replacing the
+reference's ``check()`` self-tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mloam_tpu.core import rotations as rot
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.frontend.features import FeatCloud
+from mloam_tpu.ops import knn as knn_ops
+from mloam_tpu.solver import robust
+
+_BIG = 1e30
+
+
+class PlaneCorr(NamedTuple):
+    """Point-to-plane correspondences: n·(T p) + d ≈ 0 in the target frame."""
+
+    p: jnp.ndarray       # [N, 3] source point (source sensor frame)
+    s: jnp.ndarray       # [N] de-skew fraction of the source point
+    normal: jnp.ndarray  # [N, 3] target-frame plane normal (unit)
+    d: jnp.ndarray       # [N] plane offset
+    w: jnp.ndarray       # [N] weight (0 = invalid)
+
+
+class EdgeCorr(NamedTuple):
+    """Point-to-line correspondences via two target-frame points."""
+
+    p: jnp.ndarray   # [N, 3]
+    s: jnp.ndarray   # [N]
+    pa: jnp.ndarray  # [N, 3]
+    pb: jnp.ndarray  # [N, 3]
+    w: jnp.ndarray   # [N]
+
+
+# ---------------------------------------------------------------------------
+# residuals (pure functions of the transformed point)
+# ---------------------------------------------------------------------------
+
+def transform_deskew(pose: Pose, p: jnp.ndarray, s: jnp.ndarray,
+                     deskew: bool) -> jnp.ndarray:
+    """Apply pose to points, slerp-scaled by per-point fraction s when
+    de-skewing (reference factors' ``s_`` interpolation,
+    lidar_scan_factor.hpp:40-47)."""
+    if deskew:
+        frac = se3.scale(pose, s)
+        return rot.quat_rotate(frac.q, p) + frac.t
+    return se3.transform_points(pose, p)
+
+
+def plane_residual(p_t: jnp.ndarray, corr: PlaneCorr) -> jnp.ndarray:
+    """[N] signed point-to-plane distance of transformed points p_t."""
+    return jnp.sum(corr.normal * p_t, axis=-1) + corr.d
+
+
+def edge_residual(p_t: jnp.ndarray, corr: EdgeCorr) -> jnp.ndarray:
+    """[N, 3] cross-product point-to-line residual (vector form,
+    LidarScanEdgeFactorVector semantics)."""
+    ab = corr.pa - corr.pb
+    denom = jnp.maximum(jnp.linalg.norm(ab, axis=-1, keepdims=True), 1e-9)
+    cr = jnp.cross(p_t - corr.pa, p_t - corr.pb)
+    return cr / denom
+
+
+def robust_weights(r2: jnp.ndarray, base_w: jnp.ndarray, kind: str,
+                   delta: float) -> jnp.ndarray:
+    """IRLS weight per correspondence; stop-gradient so GN linearization
+    treats it as constant."""
+    w = robust.loss_weight(jax.lax.stop_gradient(r2), kind, delta)
+    return base_w * w
+
+
+# ---------------------------------------------------------------------------
+# scan-to-scan correspondence construction
+# ---------------------------------------------------------------------------
+
+def match_scan_edge(
+    q: FeatCloud,
+    q_in_target: jnp.ndarray,
+    target: FeatCloud,
+    dist_sq_threshold: float = 25.0,
+    nearby_scan: float = 2.5,
+    k: int = 8,
+) -> EdgeCorr:
+    """Edge correspondence against the previous sweep's less-sharp cloud:
+    nearest neighbor j plus the nearest point l on a *different but nearby*
+    ring — the two defining a 3D line (feature_extract.hpp:132-271).
+
+    ``q_in_target``: query points already de-skewed/predicted into the target
+    frame (association uses the current motion estimate).
+    """
+    d, idx = knn_ops.knn(q_in_target, target.xyz, target.mask, k)
+    ring_q = q.ring
+    ring_n = target.ring[idx]                      # [N, k]
+    j_ring = ring_n[:, 0]
+    diff = jnp.abs(ring_n - j_ring[:, None])
+    cand_ok = (
+        (diff > 0)
+        & (diff <= nearby_scan)
+        & (d < dist_sq_threshold)
+        & (jnp.arange(k)[None, :] > 0)
+    )
+    # first acceptable candidate
+    first = jnp.argmax(cand_ok, axis=1)
+    has_l = jnp.any(cand_ok, axis=1)
+    l_idx = jnp.take_along_axis(idx, first[:, None], axis=1)[:, 0]
+    valid = q.mask & has_l & (d[:, 0] < dist_sq_threshold)
+    del ring_q
+    return EdgeCorr(
+        p=q.xyz,
+        s=q.time,
+        pa=target.xyz[idx[:, 0]],
+        pb=target.xyz[l_idx],
+        w=valid.astype(q.xyz.dtype),
+    )
+
+
+def match_scan_plane(
+    q: FeatCloud,
+    q_in_target: jnp.ndarray,
+    target: FeatCloud,
+    dist_sq_threshold: float = 25.0,
+    nearby_scan: float = 2.5,
+    k: int = 8,
+) -> PlaneCorr:
+    """Plane correspondence against the previous sweep's less-flat cloud:
+    nearest j, nearest l on the same ring, nearest m on a nearby different
+    ring — the three defining a plane (feature_extract.hpp:274-376)."""
+    d, idx = knn_ops.knn(q_in_target, target.xyz, target.mask, k)
+    ring_n = target.ring[idx]
+    j_ring = ring_n[:, 0]
+    diff = ring_n - j_ring[:, None]
+    pos = jnp.arange(k)[None, :]
+    in_range = d < dist_sq_threshold
+    same = (diff == 0) & (pos > 0) & in_range
+    other = (jnp.abs(diff) > 0) & (jnp.abs(diff) <= nearby_scan) & in_range
+    l_first = jnp.argmax(same, axis=1)
+    m_first = jnp.argmax(other, axis=1)
+    has_l = jnp.any(same, axis=1)
+    has_m = jnp.any(other, axis=1)
+    l_idx = jnp.take_along_axis(idx, l_first[:, None], 1)[:, 0]
+    m_idx = jnp.take_along_axis(idx, m_first[:, None], 1)[:, 0]
+
+    pj = target.xyz[idx[:, 0]]
+    pl = target.xyz[l_idx]
+    pm = target.xyz[m_idx]
+    n = jnp.cross(pj - pl, pj - pm)
+    n_norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n_unit = n / jnp.maximum(n_norm, 1e-9)
+    dcoef = -jnp.sum(n_unit * pj, axis=-1)
+    valid = (
+        q.mask
+        & has_l
+        & has_m
+        & (d[:, 0] < dist_sq_threshold)
+        & (n_norm[:, 0] > 1e-6)
+    )
+    return PlaneCorr(
+        p=q.xyz, s=q.time, normal=n_unit, d=dcoef,
+        w=valid.astype(q.xyz.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# map correspondence construction (kNN + local fits)
+# ---------------------------------------------------------------------------
+
+def match_map_edge(
+    q: FeatCloud,
+    q_in_map: jnp.ndarray,
+    map_xyz: jnp.ndarray,
+    map_mask: jnp.ndarray,
+    dist_sq_threshold: float = 1.0,
+    k: int = 5,
+    line_axis_len: float = 0.1,
+) -> EdgeCorr:
+    """kNN → 3x3 scatter eigendecomposition; accept if strongly linear
+    (λ_max > 3 λ_mid); line = centroid ± eigvec (feature_extract.hpp:
+    379-538)."""
+    d, idx = knn_ops.knn(q_in_map, map_xyz, map_mask, k)
+    nn = map_xyz[idx]                              # [N, k, 3]
+    ok_all = d[:, k - 1] < dist_sq_threshold
+    centroid = jnp.mean(nn, axis=1)
+    rel = nn - centroid[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", rel, rel) / k
+    vals, vecs = jnp.linalg.eigh(cov)              # ascending
+    lin = vals[:, 2] > 3.0 * vals[:, 1]
+    axis = vecs[:, :, 2]
+    pa = centroid + line_axis_len * axis
+    pb = centroid - line_axis_len * axis
+    valid = q.mask & ok_all & lin
+    return EdgeCorr(p=q.xyz, s=q.time, pa=pa, pb=pb,
+                    w=valid.astype(q.xyz.dtype))
+
+
+def match_map_plane(
+    q: FeatCloud,
+    q_in_map: jnp.ndarray,
+    map_xyz: jnp.ndarray,
+    map_mask: jnp.ndarray,
+    dist_sq_threshold: float = 1.0,
+    k: int = 5,
+    min_plane_dis: float = 0.2,
+) -> PlaneCorr:
+    """kNN → least-squares plane n·p = -1; accept if all neighbors lie
+    within min_plane_dis; LOAM-style quality weight
+    (feature_extract.hpp:541-643)."""
+    d, idx = knn_ops.knn(q_in_map, map_xyz, map_mask, k)
+    nn = map_xyz[idx]
+    ok_all = d[:, k - 1] < dist_sq_threshold
+    # solve nn @ n = -1 (least squares, normal equations on 3x3)
+    A = nn
+    AtA = jnp.einsum("nki,nkj->nij", A, A)
+    Atb = -jnp.sum(A, axis=1)
+    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3), Atb[..., None])[..., 0]
+    norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
+    n_unit = n_raw / jnp.maximum(norm, 1e-9)
+    dcoef = 1.0 / jnp.maximum(norm[:, 0], 1e-9)
+    fit = jnp.abs(jnp.einsum("nki,ni->nk", nn, n_unit) + dcoef[:, None])
+    planar = jnp.all(fit < min_plane_dis, axis=1)
+    # LOAM weight: downweight correspondences far relative to range
+    res0 = jnp.abs(jnp.sum(n_unit * q_in_map, -1) + dcoef)
+    rng = jnp.linalg.norm(q.xyz, axis=-1)
+    quality = jnp.clip(1.0 - 0.9 * res0 / jnp.maximum(jnp.sqrt(rng), 1e-3), 0.1, 1.0)
+    valid = q.mask & ok_all & planar
+    return PlaneCorr(
+        p=q.xyz, s=q.time, normal=n_unit, d=dcoef,
+        w=valid.astype(q.xyz.dtype) * quality,
+    )
+
+
+# ---------------------------------------------------------------------------
+# extrinsic prior (PriorFactor, prior_factor.hpp:27)
+# ---------------------------------------------------------------------------
+
+def prior_residual(ext: Pose, ext_prior: Pose, pos_w: float, rot_w: float) -> jnp.ndarray:
+    """[6] weighted tangent error between extrinsic estimate and prior."""
+    xi = se3.boxminus(ext, ext_prior)
+    w = jnp.concatenate([jnp.full((3,), pos_w), jnp.full((3,), rot_w)])
+    return w * xi

@@ -1,0 +1,113 @@
+"""Gauss-Newton / Levenberg-Marquardt on product manifolds, dense form.
+
+This replaces Ceres (DENSE_SCHUR, analytic-Jacobian cost functions,
+``estimator/src/estimator/estimator.cpp:606-615`` and friends) with a
+TPU-native design:
+
+  * The state is any pytree with a user ``retract(x, dx)`` taking a flat
+    tangent vector dx [D]. SLAM states here are tiny (window poses +
+    extrinsics: D <= ~60), so the normal equations are assembled densely and
+    solved directly — no Schur elimination needed for speed (the reference
+    needed DENSE_SCHUR only because Ceres treats each pose as a block).
+  * Jacobians come from one ``jax.jacfwd`` of the residual at dx = 0 — D
+    forward passes, each a fully-batched residual evaluation; H = Jᵀ W J is a
+    single [D, N] @ [N, D] matmul on the MXU.
+  * Robust IRLS weights are recomputed each iteration from the current
+    residuals (see robust.py).
+  * A fixed iteration count (compile-time constant, lax.fori_loop) mirrors
+    the reference's hard solver budgets; LM damping is adapted
+    multiplicatively on cost increase, branch-free.
+
+The returned Gauss-Newton Hessian feeds degeneracy analysis, covariance
+(H⁻¹, reference lidar_mapper_keyframe.cpp:602-618) and marginalization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# residual_fn(x) -> (r [N], w [N]); w already folds validity mask and any
+# per-residual sqrt-information. Robust reweighting happens here on top.
+ResidualFn = Callable[[Any], tuple[jnp.ndarray, jnp.ndarray]]
+RetractFn = Callable[[Any, jnp.ndarray], Any]
+
+
+class GNState(NamedTuple):
+    x: Any
+    cost: jnp.ndarray
+    lm_lambda: jnp.ndarray
+    H: jnp.ndarray   # damped-free JᵀWJ of the *last* linearization
+    g: jnp.ndarray
+
+
+def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int):
+    """Build (H, g, cost) at x. One jacfwd over the flat tangent.
+
+    IRLS robust weights belong *inside* residual_fn (computed from the
+    current residuals, under stop_gradient if derived from r): the weight w
+    is taken from the evaluation at dx=0 and the Jacobian only differentiates
+    the raw residual, which is exactly the IRLS linearization.
+    """
+    def res_at(dx):
+        r, _ = residual_fn(retract(x, dx))
+        return r
+
+    zero = jnp.zeros((dim,), jnp.float32)
+    r, w = residual_fn(x)
+    J = jax.jacfwd(res_at)(zero)            # [N, D]
+    Jw = J * w[:, None]
+    H = J.T @ Jw                             # [D, D]
+    g = Jw.T @ r                             # [D]
+    cost = 0.5 * jnp.sum(w * r * r)
+    return H, g, cost
+
+
+def solve_normal(H: jnp.ndarray, g: jnp.ndarray, lm_lambda) -> jnp.ndarray:
+    d = H.shape[0]
+    Hd = H + lm_lambda * jnp.eye(d, dtype=H.dtype)
+    # cholesky solve; fall back to lstsq-ish behavior via jitter is implicit
+    L = jnp.linalg.cholesky(Hd + 1e-8 * jnp.eye(d, dtype=H.dtype))
+    dx = jax.scipy.linalg.cho_solve((L, True), g)
+    return -dx
+
+
+def gauss_newton(
+    residual_fn: ResidualFn,
+    x0: Any,
+    retract: RetractFn,
+    dim: int,
+    iters: int,
+    init_lambda: float = 1e-4,
+    remap_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+) -> GNState:
+    """Run ``iters`` damped GN steps. ``remap_fn(H, dx) -> dx`` optionally
+    projects the update (degeneracy solution-remapping)."""
+
+    H0, g0, c0 = _linearize(residual_fn, retract, x0, dim)
+    init = GNState(x0, c0, jnp.asarray(init_lambda, jnp.float32), H0, g0)
+
+    def body(_, st: GNState) -> GNState:
+        dx = solve_normal(st.H, st.g, st.lm_lambda)
+        if remap_fn is not None:
+            dx = remap_fn(st.H, dx)
+        x_new = retract(st.x, dx)
+        H, g, cost = _linearize(residual_fn, retract, x_new, dim)
+        accept = cost <= st.cost
+        lam = jnp.where(accept, st.lm_lambda * 0.5, st.lm_lambda * 4.0)
+        lam = jnp.clip(lam, 1e-8, 1e2)
+        # branch-free accept/reject
+        x_out = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), x_new, st.x
+        )
+        return GNState(
+            x_out,
+            jnp.where(accept, cost, st.cost),
+            lam,
+            jax.tree.map(lambda a, b: jnp.where(accept, a, b), H, st.H),
+            jax.tree.map(lambda a, b: jnp.where(accept, a, b), g, st.g),
+        )
+
+    return jax.lax.fori_loop(0, iters, body, init)

@@ -1,0 +1,253 @@
+"""Solver layer: GN convergence, autodiff-vs-finite-difference factor
+Jacobians (replacing the reference factors' check() self-tests),
+marginalization consistency, degeneracy remapping, tracker accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.frontend.features import FeatCloud
+from mloam_tpu.solver import degeneracy, factors, marginalization, robust
+from mloam_tpu.solver.gauss_newton import gauss_newton
+
+
+def make_feat(xyz, ring=None, time=None):
+    n = xyz.shape[0]
+    return FeatCloud(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        mask=jnp.ones((n,), bool),
+        time=jnp.zeros((n,)) if time is None else jnp.asarray(time, jnp.float32),
+        ring=jnp.zeros((n,), jnp.int32) if ring is None else jnp.asarray(ring, jnp.int32),
+    )
+
+
+class TestGaussNewton:
+    def test_point_cloud_alignment_converges(self):
+        key = jax.random.PRNGKey(0)
+        src = jax.random.uniform(key, (200, 3), minval=-5, maxval=5)
+        T_true = se3.exp(jnp.array([0.3, -0.2, 0.1, 0.05, -0.02, 0.1]))
+        dst = se3.transform_points(T_true, src)
+
+        def residual_fn(T):
+            r = (se3.transform_points(T, src) - dst).reshape(-1)
+            return r, jnp.ones_like(r)
+
+        st = gauss_newton(
+            residual_fn, Pose.identity(), lambda T, dx: se3.boxplus(T, dx),
+            dim=6, iters=6,
+        )
+        err = se3.boxminus(st.x, T_true)
+        assert float(jnp.linalg.norm(err)) < 1e-4
+        assert float(st.cost) < 1e-6
+
+    def test_lm_rejects_bad_steps(self):
+        # pathological residual with far initialization: cost must never rise
+        def residual_fn(x):
+            r = jnp.stack([jnp.exp(x[0]) - 1.0, 10.0 * x[1]])
+            return r, jnp.ones(2)
+
+        costs = []
+        x = jnp.array([4.0, 1.0])
+        st = gauss_newton(
+            residual_fn, x, lambda x, dx: x + dx, dim=2, iters=12,
+        )
+        assert float(st.cost) < 1e-3
+
+
+class TestFactorJacobians:
+    """Autodiff through the residual chains vs central finite differences —
+    the reference's CHECK_JACOBIAN equivalents."""
+
+    def _check(self, res_fn, T0, atol=2e-3):
+        def f(dx):
+            return res_fn(se3.boxplus(T0, dx))
+
+        J_ad = jax.jacfwd(f)(jnp.zeros(6))
+        eps = 1e-3
+        J_fd = np.zeros_like(np.asarray(J_ad))
+        for i in range(6):
+            e = np.zeros(6)
+            e[i] = eps
+            J_fd[..., i] = (
+                np.asarray(f(jnp.asarray(e, jnp.float32)))
+                - np.asarray(f(jnp.asarray(-e, jnp.float32)))
+            ) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(J_ad), J_fd, atol=atol)
+
+    def test_plane_residual_jacobian(self):
+        corr = factors.PlaneCorr(
+            p=jnp.array([[1.0, 2.0, 0.5], [-1.0, 0.3, 2.0]]),
+            s=jnp.array([0.2, 0.9]),
+            normal=jnp.array([[0.0, 0.0, 1.0], [0.707, 0.707, 0.0]]),
+            d=jnp.array([-0.5, 1.0]),
+            w=jnp.ones(2),
+        )
+        T0 = se3.exp(jnp.array([0.1, -0.2, 0.3, 0.02, 0.05, -0.1]))
+
+        def res(T):
+            pt = factors.transform_deskew(T, corr.p, corr.s, True)
+            return factors.plane_residual(pt, corr)
+
+        self._check(res, T0)
+
+    def test_edge_residual_jacobian(self):
+        corr = factors.EdgeCorr(
+            p=jnp.array([[1.0, 2.0, 0.5]]),
+            s=jnp.array([0.5]),
+            pa=jnp.array([[1.0, 2.0, 0.0]]),
+            pb=jnp.array([[1.0, 2.0, 1.0]]),
+            w=jnp.ones(1),
+        )
+        T0 = se3.exp(jnp.array([-0.1, 0.2, 0.0, 0.1, 0.0, 0.05]))
+
+        def res(T):
+            pt = factors.transform_deskew(T, corr.p, corr.s, True)
+            return factors.edge_residual(pt, corr).reshape(-1)
+
+        self._check(res, T0)
+
+    def test_prior_residual_jacobian(self):
+        prior = se3.exp(jnp.array([0.1, 0.2, 0.3, 0.01, 0.02, 0.03]))
+        T0 = se3.boxplus(prior, jnp.array([0.05, 0, 0, 0, 0.02, 0]))
+
+        def res(T):
+            return factors.prior_residual(T, prior, 2.0, 3.0)
+
+        self._check(res, T0)
+
+
+class TestRobust:
+    def test_huber_weight_shape(self):
+        s = jnp.array([0.0001, 0.01, 1.0, 100.0])
+        w = robust.huber_weight(s, 0.1)
+        assert w[0] == 1.0 and w[1] == 1.0
+        np.testing.assert_allclose(w[2], 0.1, atol=1e-6)
+        np.testing.assert_allclose(w[3], 0.01, atol=1e-6)
+
+    def test_gnc_interpolates_to_gm(self):
+        s = jnp.array([0.5])
+        gm = robust.geman_mcclure_weight(s, 1.0)
+        sur = robust.surrogate_gm_weight(s, 1.0, 1.0)
+        np.testing.assert_allclose(gm, sur, atol=1e-7)
+        # large mu -> approaches L2 (weight 1)
+        near_l2 = robust.surrogate_gm_weight(s, 1.0, 1e6)
+        np.testing.assert_allclose(near_l2, 1.0, atol=1e-4)
+
+
+class TestMarginalization:
+    def test_linear_gaussian_consistency(self):
+        """Marginalizing block a of a quadratic must leave the same minimum
+        over b as minimizing jointly."""
+        key = jax.random.PRNGKey(1)
+        A = jax.random.normal(key, (20, 12))
+        H = A.T @ A + 0.1 * jnp.eye(12)
+        g = jax.random.normal(jax.random.PRNGKey(2), (12,))
+        # joint minimizer
+        x_star = -jnp.linalg.solve(H, g)
+        prior = marginalization.schur_marginalize(H, g, n_drop=6)
+        # minimize prior over b alone: Jᵀ(r0 + J b) = 0
+        Hb = prior.J.T @ prior.J
+        gb = prior.J.T @ prior.r0
+        b_star = -jnp.linalg.solve(Hb, gb)
+        np.testing.assert_allclose(b_star, x_star[6:], atol=1e-4)
+
+    def test_prior_residual_replay(self):
+        H = jnp.eye(12) * 4.0
+        g = jnp.zeros(12)
+        prior = marginalization.schur_marginalize(H, g, 6)
+        delta = jnp.arange(6, dtype=jnp.float32) * 0.1
+        r = prior.residual(delta)
+        np.testing.assert_allclose(r, 2.0 * delta, atol=1e-5)
+
+    def test_empty_prior_is_zero(self):
+        p = marginalization.MargPrior.empty(6)
+        r = p.residual(jnp.ones(6))
+        np.testing.assert_allclose(r, 0.0)
+
+
+class TestDegeneracy:
+    def test_remap_freezes_weak_directions(self):
+        # block 0 strong, block 1 weak along one axis
+        H = jnp.zeros((12, 12))
+        H = H.at[:6, :6].set(100.0 * jnp.eye(6))
+        d2 = jnp.diag(jnp.array([100.0, 100.0, 0.001, 100.0, 100.0, 100.0]))
+        H = H.at[6:, 6:].set(d2)
+        dx = jnp.ones(12)
+        out = degeneracy.remap_update(H, dx, threshold=1.0)
+        np.testing.assert_allclose(out[:6], 1.0, atol=1e-5)
+        np.testing.assert_allclose(out[6 + 2], 0.0, atol=1e-5)
+        np.testing.assert_allclose(out[6 + 0], 1.0, atol=1e-5)
+
+    def test_analyze_blocks(self):
+        H = jnp.eye(12)
+        H = H.at[0, 0].set(0.01)
+        info = degeneracy.analyze_blocks(H, 2, threshold=0.5)
+        assert bool(info.degenerate[0]) and not bool(info.degenerate[1])
+
+
+class TestScanMatching:
+    def test_plane_match_recovers_plane(self):
+        # target: flat grid on z=0 across 3 rings; query: points above
+        xs = jnp.linspace(-2, 2, 10)
+        pts, rings = [], []
+        for r, y in enumerate([-0.2, 0.0, 0.2]):
+            for x in xs:
+                pts.append([x, y, 0.0])
+                rings.append(r)
+        target = make_feat(jnp.array(pts), ring=jnp.array(rings))
+        q = make_feat(jnp.array([[0.3, 0.0, 0.25]]), ring=jnp.array([1]))
+        corr = factors.match_scan_plane(q, q.xyz, target)
+        assert corr.w[0] > 0
+        np.testing.assert_allclose(jnp.abs(corr.normal[0, 2]), 1.0, atol=1e-5)
+        r = factors.plane_residual(q.xyz, corr)
+        np.testing.assert_allclose(jnp.abs(r[0]), 0.25, atol=1e-5)
+
+    def test_edge_match_needs_two_rings(self):
+        # vertical edge: points stacked in z across rings
+        target = make_feat(
+            jnp.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.3], [1.0, 0.0, 0.6]]),
+            ring=jnp.array([0, 1, 2]),
+        )
+        q = make_feat(jnp.array([[1.1, 0.05, 0.3]]), ring=jnp.array([1]))
+        corr = factors.match_scan_edge(q, q.xyz, target)
+        assert corr.w[0] > 0
+        r = factors.edge_residual(q.xyz, corr)
+        # distance to the vertical line x=1,y=0 is ~sqrt(0.1^2+0.05^2)
+        np.testing.assert_allclose(
+            jnp.linalg.norm(r[0]), np.hypot(0.1, 0.05), atol=1e-3
+        )
+
+    def test_map_plane_fit(self):
+        key = jax.random.PRNGKey(3)
+        pts = jax.random.uniform(key, (50, 3), minval=-1, maxval=1)
+        pts = pts.at[:, 2].set(0.5)  # plane z=0.5
+        q = make_feat(jnp.array([[0.0, 0.0, 0.8]]))
+        corr = factors.match_map_plane(q, q.xyz, pts, jnp.ones(50, bool))
+        assert corr.w[0] > 0
+        r = factors.plane_residual(q.xyz, corr)
+        np.testing.assert_allclose(jnp.abs(r[0]), 0.3, atol=1e-2)
+
+    def test_map_edge_eigenline(self):
+        t = jnp.linspace(-1, 1, 30)
+        line = jnp.stack([jnp.full(30, 2.0), jnp.full(30, 1.0), t], -1)
+        q = make_feat(jnp.array([[2.1, 1.0, 0.0]]))
+        corr = factors.match_map_edge(q, q.xyz, line, jnp.ones(30, bool))
+        assert corr.w[0] > 0
+        r = factors.edge_residual(q.xyz, corr)
+        np.testing.assert_allclose(jnp.linalg.norm(r[0]), 0.1, atol=1e-3)
+
+    def test_map_edge_rejects_isotropic_planar_patch(self):
+        # symmetric in-plane cross: lambda_max == lambda_mid, not a line.
+        # (NB the lambda_max > 3*lambda_mid criterion — same as the
+        # reference's — is noisy on small random samples; only a clearly
+        # non-linear neighborhood is guaranteed rejected.)
+        pts = jnp.array(
+            [[0.2, 0.0, 0.0], [-0.2, 0.0, 0.0], [0.0, 0.2, 0.0],
+             [0.0, -0.2, 0.0], [0.0, 0.0, 0.0]]
+        )
+        q = make_feat(jnp.array([[0.0, 0.0, 0.1]]))
+        corr = factors.match_map_edge(q, q.xyz, pts, jnp.ones(5, bool))
+        assert corr.w[0] == 0
