@@ -73,9 +73,11 @@ class OdometryConfig:
     surf_map_leaf: float = 0.4
     dist_sq_threshold: float = 1.0   # MIN_MATCH_SQ_DIS
     eig_threshold: float = 50.0      # odometry degeneracy lambda init
+    gauge_weight: float = 30.0       # weak absolute anchor on the pivot pose
     gf_ratio: float = 1.0            # good-feature keep ratio (1.0 = all)
-    cap_local_corner: int = 8192
-    cap_local_surf: int = 16384
+    # per-frame feature capacities inside the window stacks
+    cap_frame_corner: int = 1024
+    cap_frame_surf: int = 2048
 
 
 @dataclass(frozen=True)

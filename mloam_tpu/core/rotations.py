@@ -125,15 +125,26 @@ def so3_exp_quat(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion [..., 4] -> axis-angle [..., 3]; Taylor-safe near identity."""
+    """Quaternion [..., 4] -> axis-angle [..., 3]; Taylor-safe near identity.
+
+    AD-safe at the identity: the vector norm is guarded with the double-where
+    pattern so jacfwd/jacrev produce finite derivatives when v == 0 (a plain
+    ``norm`` has a NaN gradient at zero, which poisoned GN linearizations of
+    priors evaluated exactly at their linearization point).
+    """
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # shortest arc
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    theta = 2.0 * jnp.arctan2(vnorm, w)
-    small = vnorm < 1e-6
-    # theta / sin(theta/2) ~= 2 + theta^2/12 for small theta; here scale = theta/vnorm
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5), theta / jnp.maximum(vnorm, _EPS))
+    vnorm2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = vnorm2 < 1e-12
+    vnorm_safe = jnp.sqrt(jnp.where(small, 1.0, vnorm2))
+    theta = 2.0 * jnp.arctan2(vnorm_safe, w)
+    # theta/vnorm ~ 2/w - 2 vnorm^2/(3 w^3) near zero (atan2 series)
+    scale = jnp.where(
+        small,
+        2.0 / jnp.maximum(w, 0.5) - 2.0 * vnorm2 / (3.0 * jnp.maximum(w, 0.5) ** 3),
+        theta / vnorm_safe,
+    )
     return scale * v
 
 

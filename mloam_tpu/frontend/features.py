@@ -151,6 +151,30 @@ def _pick_per_sector(
     )
 
 
+def _stride_to_cap(xyz, mask, payload, cap: int):
+    """Compacted arrays -> fixed capacity, even stride when over-full."""
+    num = jnp.sum(mask.astype(jnp.int32))
+    ar = jnp.arange(cap, dtype=jnp.int32)
+    strided = jnp.floor(ar.astype(jnp.float32) * num / cap).astype(jnp.int32)
+    sel = jnp.where(num <= cap, ar, strided)
+    out_mask = ar < jnp.minimum(num, cap)
+    return xyz[sel], out_mask, payload[sel]
+
+
+def downsample_featcloud(f: FeatCloud, leaf: float, cap: int) -> FeatCloud:
+    """Voxel-downsample a feature cloud to a fixed capacity (used when
+    pushing sweeps into window/map stacks, reference estimator.cpp:485-496)."""
+    payload = jnp.stack([f.time, f.ring.astype(f.time.dtype)], -1)
+    ds_xyz, ds_mask, ds_payload = voxel.voxel_downsample(f.xyz, f.mask, leaf, payload)
+    xyz, mask, pl = _stride_to_cap(ds_xyz, ds_mask, ds_payload, cap)
+    return FeatCloud(
+        xyz=jnp.where(mask[:, None], xyz, 0.0),
+        mask=mask,
+        time=jnp.where(mask, pl[:, 0], 0.0),
+        ring=jnp.round(pl[:, 1]).astype(jnp.int32),
+    )
+
+
 def extract(img: RangeImage, segmented: jnp.ndarray,
             cfg: FeatureConfig) -> FeatureFrame:
     """Extract the four feature sets from one segmented sweep."""
@@ -184,16 +208,11 @@ def extract(img: RangeImage, segmented: jnp.ndarray,
     # reduce to capacity: identity when it fits, else an even stride over the
     # compacted voxels (avoids the spatial bias a plain truncation would have,
     # since voxel_reduce orders cells lexicographically by coordinate)
-    cap = cfg.cap_less_flat
-    num = jnp.sum(ds_mask.astype(jnp.int32))
-    ar = jnp.arange(cap, dtype=jnp.int32)
-    strided = jnp.floor(ar.astype(jnp.float32) * num / cap).astype(jnp.int32)
-    sel = jnp.where(num <= cap, ar, strided)
-    out_mask = ar < jnp.minimum(num, cap)
+    sxyz, smask, spl = _stride_to_cap(ds_xyz, ds_mask, ds_payload, cfg.cap_less_flat)
     lf = FeatCloud(
-        xyz=ds_xyz[sel],
-        mask=out_mask,
-        time=ds_payload[sel, 0],
-        ring=jnp.round(ds_payload[sel, 1]).astype(jnp.int32),
+        xyz=jnp.where(smask[:, None], sxyz, 0.0),
+        mask=smask,
+        time=jnp.where(smask, spl[:, 0], 0.0),
+        ring=jnp.round(spl[:, 1]).astype(jnp.int32),
     )
     return FeatureFrame(sharp=sharp, less_sharp=less_sharp, flat=flat, less_flat=lf)

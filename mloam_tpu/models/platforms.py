@@ -1,0 +1,58 @@
+"""Per-platform configuration presets.
+
+Counterpart of the reference's yaml config set (``estimator/config/*.yaml``):
+SR (simulated jackal, 2x VLP-16), RHD (handheld, 2x VLP-16), RV Hercules
+(vehicle, 4x), Oxford (2x HDL-32), KITTI (1x HDL-64). Values mirror the
+reference's per-platform settings (n_scans, num_of_laser, window sizes,
+resolutions) on top of the defaults in config.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from mloam_tpu.config import LidarRig, MloamConfig
+from mloam_tpu.core.rangeimage import LidarModel
+
+VLP16 = LidarModel(n_rings=16, n_cols=1800, fov_up_deg=15.0, fov_down_deg=-15.0)
+HDL32 = LidarModel(n_rings=32, n_cols=2160, fov_up_deg=10.67, fov_down_deg=-30.67)
+HDL64 = LidarModel(n_rings=64, n_cols=1800, fov_up_deg=2.0, fov_down_deg=-24.8)
+SIM16 = LidarModel(n_rings=16, n_cols=1800)
+
+
+def simu_jackal(n_lidars: int = 2, extrinsic_mode: int = 2) -> MloamConfig:
+    """SR: config_simu_jackal.yaml (2x VLP-16, online calibration)."""
+    return MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
+                                    extrinsic_mode=extrinsic_mode))
+
+
+def handheld(extrinsic_mode: int = 1) -> MloamConfig:
+    """RHD: config_handheld.yaml (2x VLP-16)."""
+    return MloamConfig(rig=LidarRig(models=(VLP16, VLP16),
+                                    extrinsic_mode=extrinsic_mode))
+
+
+def vehicle_hercules(extrinsic_mode: int = 1) -> MloamConfig:
+    """RV: config_realvehicle_hercules.yaml (4x VLP-16)."""
+    return MloamConfig(rig=LidarRig(models=(VLP16,) * 4,
+                                    extrinsic_mode=extrinsic_mode))
+
+
+def oxford(extrinsic_mode: int = 0) -> MloamConfig:
+    """OR: config_realvehicle_oxford.yaml (2x HDL-32)."""
+    return MloamConfig(rig=LidarRig(models=(HDL32, HDL32),
+                                    extrinsic_mode=extrinsic_mode))
+
+
+def kitti() -> MloamConfig:
+    """KITTI: config_realvehicle_kitti.yaml (1x HDL-64, fixed extrinsics)."""
+    cfg = MloamConfig(rig=LidarRig(models=(HDL64,), extrinsic_mode=0))
+    return dataclasses.replace(
+        cfg, segmenter=dataclasses.replace(cfg.segmenter, ground_rows=30)
+    )
+
+
+def synthetic(n_lidars: int = 1, extrinsic_mode: int = 0) -> MloamConfig:
+    """The simulator fixture platform (tests/bench)."""
+    return MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
+                                    extrinsic_mode=extrinsic_mode))

@@ -1,0 +1,313 @@
+"""Sliding-window odometry backend.
+
+Counterpart of the reference ``Estimator`` (``estimator/src/estimator/
+estimator.{h,cpp}``): the INITIAL → NON_LINEAR state machine (:499-530),
+window feature stacks (:485-496), local-map construction by re-projecting
+window sweeps into the pivot frame (``buildLocalMap`` :1159-1271), the
+windowed Gauss-Newton over (pivot..newest) poses with degeneracy remapping
+(``optimizeMap`` :593-1064, ``evalDegenracy`` :1598-1680), and VINS-style
+marginalization of the pivot pose (:871-1063).
+
+TPU design decisions:
+  * The window is a fixed-shape pytree (stacked poses + stacked per-frame
+    feature tensors); sliding is a roll, pushing a slice write — the whole
+    per-sweep step jits once.
+  * The local map is rebuilt per step as a voxel reduction over the stacked
+    window clouds — no persistent kd-tree, no incremental state.
+  * The solve optimizes poses pivot..newest (opt_window + 1 blocks, tangent
+    dim (O+1)*6 ≤ 42): normal equations assembled densely from one jacfwd,
+    solved directly (no Schur needed at this size).
+  * Marginalizing the pivot = dense Schur on the final (H, g); the resulting
+    prior (with its linearization poses) rides in the window state and is
+    replayed with first-order correction, exactly like MarginalizationFactor.
+  * Degeneracy: per-block eigh + solution-remap projection of the update.
+
+Multi-LiDAR: feature stacks carry a lidar axis; all lidars' features are
+projected through their extrinsics into the pivot frame (the reference's
+NUM_OF_LASER loops, estimator.cpp:789-848).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mloam_tpu.config import MloamConfig
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.frontend.features import FeatCloud
+from mloam_tpu.ops import voxel
+from mloam_tpu.solver import degeneracy, factors
+from mloam_tpu.solver.gauss_newton import gauss_newton
+from mloam_tpu.solver.marginalization import MargPrior, schur_marginalize
+
+
+class WindowState(NamedTuple):
+    """Fixed-shape sliding window. S = window_size + 1 slots, L lidars."""
+
+    poses: Pose            # [S] world <- base_i
+    corner: FeatCloud      # [S, L, Nc] per-slot per-lidar corner features
+    surf: FeatCloud        # [S, L, Ns] surf features
+    ext: Pose              # [L] base <- lidar
+    count: jnp.ndarray     # scalar int32: frames currently in window
+    prior: MargPrior       # over (pivot..newest) tangent, dim (O+1)*6
+    prior_poses: Pose      # [S] linearization poses for the prior
+
+
+def _stack_feat(fs: list[FeatCloud]) -> FeatCloud:
+    return FeatCloud(*[jnp.stack(x) for x in zip(*fs)])
+
+
+def init_window(cfg: MloamConfig, cap_corner: int, cap_surf: int) -> WindowState:
+    s = cfg.odometry.window_size + 1
+    L = cfg.rig.n_lidars
+    empty_c = FeatCloud.zeros(cap_corner)
+    empty_s = FeatCloud.zeros(cap_surf)
+    corner = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (s, L) + x.shape).copy(), empty_c
+    )
+    surf = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (s, L) + x.shape).copy(), empty_s
+    )
+    opt_dim = (cfg.odometry.opt_window_size + 1) * 6
+    return WindowState(
+        poses=Pose.identity((s,)),
+        corner=corner,
+        surf=surf,
+        ext=Pose.identity((L,)),
+        count=jnp.asarray(0, jnp.int32),
+        prior=MargPrior.empty(opt_dim),
+        prior_poses=Pose.identity((s,)),
+    )
+
+
+def set_extrinsics(state: WindowState, ext: Pose) -> WindowState:
+    return state._replace(ext=ext)
+
+
+def push_frame(
+    state: WindowState,
+    pose: Pose,
+    corner: FeatCloud,  # [L, Nc]
+    surf: FeatCloud,    # [L, Ns]
+    cfg: MloamConfig,
+) -> WindowState:
+    """Slide the window by one and write the new frame into the last slot."""
+    s = cfg.odometry.window_size + 1
+
+    def roll_set(stack, new):
+        rolled = jax.tree.map(lambda x: jnp.roll(x, -1, axis=0), stack)
+        return jax.tree.map(lambda x, n: x.at[s - 1].set(n), rolled, new)
+
+    return state._replace(
+        poses=roll_set(state.poses, pose),
+        corner=roll_set(state.corner, corner),
+        surf=roll_set(state.surf, surf),
+        prior_poses=roll_set(state.prior_poses, pose),
+        count=jnp.minimum(state.count + 1, s),
+    )
+
+
+def build_local_map(state: WindowState, cfg: MloamConfig):
+    """Project every window sweep's features (all lidars) into the pivot
+    frame and voxel-filter (buildLocalMap, estimator.cpp:1159-1271)."""
+    s = cfg.odometry.window_size + 1
+    pivot = s - 1 - cfg.odometry.opt_window_size
+    piv_pose = Pose(state.poses.q[pivot], state.poses.t[pivot])
+
+    def project(stack: FeatCloud):
+        def per_frame(q, t, xyz, mask, fresh):
+            rel = se3.compose(se3.inverse(piv_pose), Pose(q, t))
+
+            def per_lidar(eq, et, x, m):
+                T = se3.compose(rel, Pose(eq, et))
+                return se3.transform_points(T, x), m
+
+            return jax.vmap(per_lidar)(
+                state.ext.q, state.ext.t, xyz, mask & fresh[None]
+            )
+
+        s_idx = jnp.arange(s)
+        # only slots holding real frames; the NEWEST frame is excluded from
+        # its own map (reference buildLocalMap: `if (i == WINDOW_SIZE)
+        # continue`, estimator.cpp:1182) so it is never pinned to its
+        # prediction by self-matching.
+        filled = (s_idx >= (s - state.count)) & (s_idx < s - 1)
+        fresh = jnp.broadcast_to(filled[:, None], stack.mask.shape[:2])
+        xyz, mask = jax.vmap(per_frame)(
+            state.poses.q, state.poses.t, stack.xyz, stack.mask, fresh
+        )
+        return xyz.reshape(-1, 3), mask.reshape(-1)
+
+    c_xyz, c_mask = project(state.corner)
+    s_xyz, s_mask = project(state.surf)
+    c_ds, c_dm, _ = voxel.voxel_downsample(c_xyz, c_mask, cfg.odometry.corner_map_leaf)
+    s_ds, s_dm, _ = voxel.voxel_downsample(s_xyz, s_mask, cfg.odometry.surf_map_leaf)
+    return c_ds, c_dm, s_ds, s_dm
+
+
+class WindowSolveResult(NamedTuple):
+    H: jnp.ndarray
+    g: jnp.ndarray
+    cost: jnp.ndarray
+    n_corner: jnp.ndarray
+    n_surf: jnp.ndarray
+    eig_min: jnp.ndarray  # [O+1] per-opt-pose smallest Hessian eigenvalue
+
+
+def optimize_window(state: WindowState, cfg: MloamConfig):
+    """Backend solve over poses pivot..newest with prior + degeneracy remap.
+
+    Returns (state with updated poses, WindowSolveResult).
+    """
+    oc = cfg.odometry
+    s = oc.window_size + 1
+    O = oc.opt_window_size
+    pivot = s - 1 - O
+    L = cfg.rig.n_lidars
+    n_opt = O + 1
+    dim = n_opt * 6
+
+    c_map, c_mmask, s_map, s_mmask = build_local_map(state, cfg)
+    pivot_init = Pose(state.poses.q[pivot], state.poses.t[pivot])
+
+    def opt_pose(x: Pose, i: int) -> Pose:
+        return Pose(x.q[pivot + i], x.t[pivot + i])
+
+    # queries: frames pivot+1..newest (opt index 1..O), all lidars
+    q_ids = [(f, l) for f in range(1, n_opt) for l in range(L)]
+
+    def gather(stack: FeatCloud) -> list[FeatCloud]:
+        return [
+            jax.tree.map(lambda x: x[pivot + f, l], stack) for (f, l) in q_ids
+        ]
+
+    q_corner = gather(state.corner)
+    q_surf = gather(state.surf)
+
+    def chain(x: Pose, qi: int) -> Pose:
+        """pivot-lidar (map) frame <- lidar-l frame of opt frame f.
+
+        The pivot pose is an *optimized* parameter — every factor couples
+        (pivot, frame, extrinsic) exactly like LidarPureOdomPlaneNormFactor
+        (lidar_pure_odom_factor.hpp:27-195), so marginalizing the pivot
+        transfers relative-pose information to the retained frames.
+        """
+        f, l = q_ids[qi]
+        Wp = opt_pose(x, 0)
+        Wf = opt_pose(x, f)
+        E = Pose(state.ext.q[l], state.ext.t[l])
+        return se3.compose(se3.compose(se3.inverse(Wp), Wf), E)
+
+    def retract(x: Pose, dx: jnp.ndarray) -> Pose:
+        q, t = x.q, x.t
+        for i in range(n_opt):
+            p = se3.boxplus(opt_pose(Pose(q, t), i), dx[i * 6:(i + 1) * 6])
+            q = q.at[pivot + i].set(p.q)
+            t = t.at[pivot + i].set(p.t)
+        return Pose(q, t)
+
+    def prior_delta(x: Pose):
+        return jnp.concatenate(
+            [
+                se3.boxminus(
+                    opt_pose(x, i),
+                    Pose(state.prior_poses.q[pivot + i],
+                         state.prior_poses.t[pivot + i]),
+                )
+                for i in range(n_opt)
+            ]
+        )
+
+    poses = state.poses
+    result = None
+
+    for _ in range(oc.outer_iters):
+        edge_corrs, plane_corrs = [], []
+        for qi in range(len(q_ids)):
+            T = chain(poses, qi)
+            qc, qs = q_corner[qi], q_surf[qi]
+            edge_corrs.append(
+                factors.match_map_edge(
+                    qc, se3.transform_points(T, qc.xyz), c_map, c_mmask,
+                    oc.dist_sq_threshold,
+                )
+            )
+            plane_corrs.append(
+                factors.match_map_plane(
+                    qs, se3.transform_points(T, qs.xyz), s_map, s_mmask,
+                    oc.dist_sq_threshold,
+                )
+            )
+
+        def residual_fn(x: Pose):
+            rs, ws = [], []
+            for qi in range(len(q_ids)):
+                T = chain(x, qi)
+                ec, pc = edge_corrs[qi], plane_corrs[qi]
+                re = factors.edge_residual(se3.transform_points(T, ec.p), ec)
+                we = factors.robust_weights(
+                    jnp.sum(re * re, -1), ec.w, "huber", oc.huber_delta
+                )
+                rp = factors.plane_residual(se3.transform_points(T, pc.p), pc)
+                wp = factors.robust_weights(rp * rp, pc.w, "huber", oc.huber_delta)
+                rs += [re.reshape(-1), rp]
+                ws += [jnp.repeat(we, 3), wp]
+            rprior = state.prior.residual(prior_delta(x))
+            rs.append(rprior)
+            ws.append(jnp.ones_like(rprior))
+            # gauge anchor: the factor graph is purely relative (6-dim
+            # nullspace); a weak absolute prior on the pivot at its pre-solve
+            # estimate pins the gauge without biasing relative geometry
+            r_gauge = oc.gauge_weight * se3.boxminus(opt_pose(x, 0), pivot_init)
+            rs.append(r_gauge)
+            ws.append(jnp.ones_like(r_gauge))
+            return jnp.concatenate(rs), jnp.concatenate(ws)
+
+        st = gauss_newton(
+            residual_fn,
+            poses,
+            retract,
+            dim=dim,
+            iters=oc.gn_iters,
+            remap_fn=lambda H, dx: degeneracy.remap_update(H, dx, oc.eig_threshold),
+        )
+        poses = st.x
+        result = st
+
+    info = degeneracy.analyze_blocks(result.H, n_opt, oc.eig_threshold)
+    solve = WindowSolveResult(
+        H=result.H,
+        g=result.g,
+        cost=result.cost,
+        n_corner=sum(jnp.sum(ec.w > 0) for ec in edge_corrs),
+        n_surf=sum(jnp.sum(pc.w > 0) for pc in plane_corrs),
+        eig_min=info.factor,
+    )
+    return state._replace(poses=poses), solve
+
+
+def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
+                      cfg: MloamConfig) -> WindowState:
+    """Schur-eliminate the pivot block of the final (H, g) into a prior over
+    the remaining opt poses; re-linearize at the current estimates. The new
+    frame pushed next step enters with a zero prior block (prior stays fixed
+    shape (O+1)*6 with the last block zero)."""
+    O = cfg.odometry.opt_window_size
+    dim = (O + 1) * 6
+    small = schur_marginalize(solve.H, solve.g, n_drop=6)
+    J = jnp.zeros((dim, dim)).at[: O * 6, : O * 6].set(small.J)
+    r0 = jnp.zeros((dim,)).at[: O * 6].set(small.r0)
+    return state._replace(
+        prior=MargPrior(J=J, r0=r0, valid=jnp.asarray(True)),
+        prior_poses=state.poses,
+    )
+
+
+def drop_prior(state: WindowState, cfg: MloamConfig) -> WindowState:
+    """Discard the marginalization prior (the reference does this when
+    calibration converges, estimator.cpp:1709-1732)."""
+    dim = (cfg.odometry.opt_window_size + 1) * 6
+    return state._replace(prior=MargPrior.empty(dim))

@@ -229,20 +229,24 @@ def match_map_plane(
     k: int = 5,
     min_plane_dis: float = 0.2,
 ) -> PlaneCorr:
-    """kNN → least-squares plane n·p = -1; accept if all neighbors lie
-    within min_plane_dis; LOAM-style quality weight
-    (feature_extract.hpp:541-643)."""
+    """kNN → PCA plane fit (centroid + smallest-scatter eigenvector); accept
+    if all neighbors lie within min_plane_dis (feature_extract.hpp:541-643).
+
+    The reference solves the LSQ system n·p = -1, which degenerates for
+    planes passing near the query-frame origin (|n| → ∞) — with f32 and any
+    regularization that produces a *biased* plane offset for exactly the
+    nearby walls that dominate odometry. The PCA form is well-posed for
+    every plane position and costs one batched 3x3 eigh.
+    """
     d, idx = knn_ops.knn(q_in_map, map_xyz, map_mask, k)
     nn = map_xyz[idx]
     ok_all = d[:, k - 1] < dist_sq_threshold
-    # solve nn @ n = -1 (least squares, normal equations on 3x3)
-    A = nn
-    AtA = jnp.einsum("nki,nkj->nij", A, A)
-    Atb = -jnp.sum(A, axis=1)
-    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3), Atb[..., None])[..., 0]
-    norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
-    n_unit = n_raw / jnp.maximum(norm, 1e-9)
-    dcoef = 1.0 / jnp.maximum(norm[:, 0], 1e-9)
+    centroid = jnp.mean(nn, axis=1)
+    rel = nn - centroid[:, None, :]
+    scatter = jnp.einsum("nki,nkj->nij", rel, rel)
+    _, vecs = jnp.linalg.eigh(scatter)
+    n_unit = vecs[:, :, 0]  # smallest-eigenvalue direction = plane normal
+    dcoef = -jnp.sum(n_unit * centroid, axis=-1)
     fit = jnp.abs(jnp.einsum("nki,ni->nk", nn, n_unit) + dcoef[:, None])
     planar = jnp.all(fit < min_plane_dis, axis=1)
     # LOAM weight: downweight correspondences far relative to range

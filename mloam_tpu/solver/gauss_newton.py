@@ -66,9 +66,18 @@ def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int):
 
 
 def solve_normal(H: jnp.ndarray, g: jnp.ndarray, lm_lambda) -> jnp.ndarray:
+    """Marquardt-scaled damped solve: Hd = H + λ (diag(H) + ε I).
+
+    Scaling by diag(H) (not plain λI) matters for gauge-deficient SLAM
+    windows: in a pure-relative problem the Hessian has an exact nullspace,
+    and with λI damping the step along it is g_noise/λ — f32 reduction noise
+    over thousands of residuals divided by a tiny λ produces meter-scale
+    coherent window jumps. diag-scaled damping keeps the effective curvature
+    in every direction proportional to the problem's own scale.
+    """
     d = H.shape[0]
-    Hd = H + lm_lambda * jnp.eye(d, dtype=H.dtype)
-    # cholesky solve; fall back to lstsq-ish behavior via jitter is implicit
+    damp = jnp.diag(jnp.diagonal(H)) + 1e-3 * jnp.eye(d, dtype=H.dtype)
+    Hd = H + lm_lambda * damp
     L = jnp.linalg.cholesky(Hd + 1e-8 * jnp.eye(d, dtype=H.dtype))
     dx = jax.scipy.linalg.cho_solve((L, True), g)
     return -dx
@@ -97,7 +106,7 @@ def gauss_newton(
         H, g, cost = _linearize(residual_fn, retract, x_new, dim)
         accept = cost <= st.cost
         lam = jnp.where(accept, st.lm_lambda * 0.5, st.lm_lambda * 4.0)
-        lam = jnp.clip(lam, 1e-8, 1e2)
+        lam = jnp.clip(lam, 1e-5, 1e2)
         # branch-free accept/reject
         x_out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), x_new, st.x
