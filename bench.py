@@ -1,0 +1,77 @@
+"""Single-chip odometry benchmark.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: steady-state odometry frames/s on the synthetic SR-like sequence
+(full pipeline: segmentation + feature extraction + scan-to-scan tracking +
+sliding-window GN + marginalization, per sweep).
+
+Baseline: the reference M-LOAM runs the same per-sweep work on CPU in real
+time at the SR replay rate — 10 Hz LiDAR x2 replay speed = 20 frames/s
+sustained (BASELINE.md: scan_period 0.1, rosbag play -r 2). vs_baseline is
+our frames/s divided by that 20 fps envelope; the round target is >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_tpu_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 20.0
+N_FRAMES = 40
+WARMUP = 8
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from mloam_tpu.core.rangeimage import RangeImage
+    from mloam_tpu.models import platforms
+    from mloam_tpu.models.pipeline import OdometryPipeline
+    from mloam_tpu.models.run_synthetic import render
+    from mloam_tpu.utils import evaluation
+
+    cfg = platforms.synthetic(n_lidars=1)
+    imgs, gt_poses = render(cfg, N_FRAMES)
+    imgs = jax.tree.map(lambda x: np.asarray(x), imgs)  # host-side frames
+    pipe = OdometryPipeline(cfg)
+
+    est_t = []
+    times = []
+    for i in range(N_FRAMES):
+        img = RangeImage(*[jnp.asarray(x[i]) for x in imgs])
+        t0 = time.perf_counter()
+        out = pipe.process([img])
+        jax.block_until_ready(out.pose)
+        times.append(time.perf_counter() - t0)
+        est_t.append(np.asarray(out.pose.t))
+
+    steady = np.asarray(times[WARMUP:])
+    fps = 1.0 / steady.mean()
+    ate = evaluation.ate_rmse(np.stack(est_t), np.asarray(gt_poses.t[:N_FRAMES]))
+
+    platform = jax.devices()[0].platform
+    print(
+        f"# platform={platform} frames={N_FRAMES} "
+        f"p50={np.median(steady)*1e3:.1f}ms p95={np.percentile(steady,95)*1e3:.1f}ms "
+        f"ate={ate*100:.2f}cm",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "odom_frames_per_s",
+        "value": round(float(fps), 3),
+        "unit": "frames/s",
+        "vs_baseline": round(float(fps / BASELINE_FPS), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,15 +45,22 @@ from mloam_tpu.solver.marginalization import MargPrior, schur_marginalize
 
 
 class WindowState(NamedTuple):
-    """Fixed-shape sliding window. S = window_size + 1 slots, L lidars."""
+    """Fixed-shape sliding window. S = window_size + 1 slots, L lidars.
+
+    The marginalization prior spans [opt poses | non-ref extrinsics] in
+    calibration mode and [opt poses] otherwise; transitions between modes
+    re-initialize it (the reference likewise discards the prior when
+    calibration converges, estimator.cpp:1709-1732).
+    """
 
     poses: Pose            # [S] world <- base_i
     corner: FeatCloud      # [S, L, Nc] per-slot per-lidar corner features
-    surf: FeatCloud        # [S, L, Ns] surf features
+    surf: FeatCloud       # [S, L, Ns] surf features
     ext: Pose              # [L] base <- lidar
     count: jnp.ndarray     # scalar int32: frames currently in window
-    prior: MargPrior       # over (pivot..newest) tangent, dim (O+1)*6
+    prior: MargPrior
     prior_poses: Pose      # [S] linearization poses for the prior
+    prior_ext: Pose        # [L] linearization extrinsics for the prior
 
 
 def _stack_feat(fs: list[FeatCloud]) -> FeatCloud:
@@ -71,7 +78,7 @@ def init_window(cfg: MloamConfig, cap_corner: int, cap_surf: int) -> WindowState
     surf = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (s, L) + x.shape).copy(), empty_s
     )
-    opt_dim = (cfg.odometry.opt_window_size + 1) * 6
+    opt_dim = prior_dim(cfg, calibrate_ext=False)
     return WindowState(
         poses=Pose.identity((s,)),
         corner=corner,
@@ -80,6 +87,25 @@ def init_window(cfg: MloamConfig, cap_corner: int, cap_surf: int) -> WindowState
         count=jnp.asarray(0, jnp.int32),
         prior=MargPrior.empty(opt_dim),
         prior_poses=Pose.identity((s,)),
+        prior_ext=Pose.identity((L,)),
+    )
+
+
+def prior_dim(cfg: MloamConfig, calibrate_ext: bool) -> int:
+    d = (cfg.odometry.opt_window_size + 1) * 6
+    if calibrate_ext:
+        d += (cfg.rig.n_lidars - 1) * 6
+    return d
+
+
+def reset_prior(state: WindowState, cfg: MloamConfig,
+                calibrate_ext: bool) -> WindowState:
+    """Re-initialize the prior to the shape of the given mode (used at
+    ESTIMATE_EXTRINSIC mode transitions)."""
+    return state._replace(
+        prior=MargPrior.empty(prior_dim(cfg, calibrate_ext)),
+        prior_poses=state.poses,
+        prior_ext=state.ext,
     )
 
 
@@ -157,10 +183,19 @@ class WindowSolveResult(NamedTuple):
     eig_min: jnp.ndarray  # [O+1] per-opt-pose smallest Hessian eigenvalue
 
 
-def optimize_window(state: WindowState, cfg: MloamConfig):
-    """Backend solve over poses pivot..newest with prior + degeneracy remap.
+def optimize_window(state: WindowState, cfg: MloamConfig,
+                    calibrate_ext: bool = False,
+                    lidars: tuple[int, ...] | None = None):
+    """Backend solve over poses pivot..newest (+ non-ref extrinsics in
+    calibration mode) with prior + degeneracy remap.
 
-    Returns (state with updated poses, WindowSolveResult).
+    ``calibrate_ext`` (static): ESTIMATE_EXTRINSIC==1 — extrinsic blocks of
+    lidars 1..L-1 join the tangent, with a weak prior toward their current
+    estimates (reference PriorFactor + online-calib factors,
+    estimator.cpp:670-788). ``lidars`` restricts which lidars contribute
+    correspondences (calib-init phase matches the reference lidar only).
+
+    Returns (state with updated poses/ext, WindowSolveResult).
     """
     oc = cfg.odometry
     s = oc.window_size + 1
@@ -168,27 +203,35 @@ def optimize_window(state: WindowState, cfg: MloamConfig):
     pivot = s - 1 - O
     L = cfg.rig.n_lidars
     n_opt = O + 1
-    dim = n_opt * 6
+    n_ext = (L - 1) if calibrate_ext else 0
+    dim = (n_opt + n_ext) * 6
+    if lidars is None:
+        lidars = tuple(range(L))
 
     c_map, c_mmask, s_map, s_mmask = build_local_map(state, cfg)
     pivot_init = Pose(state.poses.q[pivot], state.poses.t[pivot])
 
-    def opt_pose(x: Pose, i: int) -> Pose:
-        return Pose(x.q[pivot + i], x.t[pivot + i])
+    # state under optimization: (poses [S], ext [L])
+    def opt_pose(x, i: int) -> Pose:
+        poses, _ = x
+        return Pose(poses.q[pivot + i], poses.t[pivot + i])
 
-    # queries: frames pivot+1..newest (opt index 1..O), all lidars
-    q_ids = [(f, l) for f in range(1, n_opt) for l in range(L)]
+    def ext_of(x, l: int) -> Pose:
+        _, ext = x
+        return Pose(ext.q[l], ext.t[l])
+
+    q_ids = [(f, l) for f in range(1, n_opt) for l in lidars]
 
     def gather(stack: FeatCloud) -> list[FeatCloud]:
         return [
-            jax.tree.map(lambda x: x[pivot + f, l], stack) for (f, l) in q_ids
+            jax.tree.map(lambda a: a[pivot + f, l], stack) for (f, l) in q_ids
         ]
 
     q_corner = gather(state.corner)
     q_surf = gather(state.surf)
 
-    def chain(x: Pose, qi: int) -> Pose:
-        """pivot-lidar (map) frame <- lidar-l frame of opt frame f.
+    def chain(x, qi: int) -> Pose:
+        """pivot-base (map) frame <- lidar-l frame of opt frame f.
 
         The pivot pose is an *optimized* parameter — every factor couples
         (pivot, frame, extrinsic) exactly like LidarPureOdomPlaneNormFactor
@@ -198,36 +241,53 @@ def optimize_window(state: WindowState, cfg: MloamConfig):
         f, l = q_ids[qi]
         Wp = opt_pose(x, 0)
         Wf = opt_pose(x, f)
-        E = Pose(state.ext.q[l], state.ext.t[l])
+        E = ext_of(x, l)
         return se3.compose(se3.compose(se3.inverse(Wp), Wf), E)
 
-    def retract(x: Pose, dx: jnp.ndarray) -> Pose:
-        q, t = x.q, x.t
+    def retract(x, dx: jnp.ndarray):
+        poses, ext = x
+        q, t = poses.q, poses.t
         for i in range(n_opt):
-            p = se3.boxplus(opt_pose(Pose(q, t), i), dx[i * 6:(i + 1) * 6])
+            p = se3.boxplus(Pose(q[pivot + i], t[pivot + i]),
+                            dx[i * 6:(i + 1) * 6])
             q = q.at[pivot + i].set(p.q)
             t = t.at[pivot + i].set(p.t)
-        return Pose(q, t)
+        eq, et = ext.q, ext.t
+        for k in range(n_ext):
+            l = k + 1  # lidar 0 is the reference, its extrinsic stays fixed
+            base = (n_opt + k) * 6
+            p = se3.boxplus(Pose(eq[l], et[l]), dx[base:base + 6])
+            eq = eq.at[l].set(p.q)
+            et = et.at[l].set(p.t)
+        return Pose(q, t), Pose(eq, et)
 
-    def prior_delta(x: Pose):
-        return jnp.concatenate(
-            [
+    def prior_delta(x):
+        ds = [
+            se3.boxminus(
+                opt_pose(x, i),
+                Pose(state.prior_poses.q[pivot + i],
+                     state.prior_poses.t[pivot + i]),
+            )
+            for i in range(n_opt)
+        ]
+        for k in range(n_ext):
+            l = k + 1
+            ds.append(
                 se3.boxminus(
-                    opt_pose(x, i),
-                    Pose(state.prior_poses.q[pivot + i],
-                         state.prior_poses.t[pivot + i]),
+                    ext_of(x, l),
+                    Pose(state.prior_ext.q[l], state.prior_ext.t[l]),
                 )
-                for i in range(n_opt)
-            ]
-        )
+            )
+        return jnp.concatenate(ds)
 
-    poses = state.poses
+    x = (state.poses, state.ext)
     result = None
+    edge_corrs = plane_corrs = None
 
     for _ in range(oc.outer_iters):
         edge_corrs, plane_corrs = [], []
         for qi in range(len(q_ids)):
-            T = chain(poses, qi)
+            T = chain(x, qi)
             qc, qs = q_corner[qi], q_surf[qi]
             edge_corrs.append(
                 factors.match_map_edge(
@@ -242,10 +302,10 @@ def optimize_window(state: WindowState, cfg: MloamConfig):
                 )
             )
 
-        def residual_fn(x: Pose):
+        def residual_fn(xx):
             rs, ws = [], []
             for qi in range(len(q_ids)):
-                T = chain(x, qi)
+                T = chain(xx, qi)
                 ec, pc = edge_corrs[qi], plane_corrs[qi]
                 re = factors.edge_residual(se3.transform_points(T, ec.p), ec)
                 we = factors.robust_weights(
@@ -255,29 +315,41 @@ def optimize_window(state: WindowState, cfg: MloamConfig):
                 wp = factors.robust_weights(rp * rp, pc.w, "huber", oc.huber_delta)
                 rs += [re.reshape(-1), rp]
                 ws += [jnp.repeat(we, 3), wp]
-            rprior = state.prior.residual(prior_delta(x))
+            rprior = state.prior.residual(prior_delta(xx))
             rs.append(rprior)
             ws.append(jnp.ones_like(rprior))
             # gauge anchor: the factor graph is purely relative (6-dim
             # nullspace); a weak absolute prior on the pivot at its pre-solve
             # estimate pins the gauge without biasing relative geometry
-            r_gauge = oc.gauge_weight * se3.boxminus(opt_pose(x, 0), pivot_init)
+            r_gauge = oc.gauge_weight * se3.boxminus(opt_pose(xx, 0), pivot_init)
             rs.append(r_gauge)
             ws.append(jnp.ones_like(r_gauge))
+            if calibrate_ext:
+                # weak prior keeping extrinsics near their running estimates
+                # (reference PriorFactor, prior_factor.hpp:27)
+                for k in range(n_ext):
+                    l = k + 1
+                    rs.append(factors.prior_residual(
+                        ext_of(xx, l),
+                        Pose(state.prior_ext.q[l], state.prior_ext.t[l]),
+                        pos_w=1.0, rot_w=1.0,
+                    ))
+                    ws.append(jnp.ones(6))
             return jnp.concatenate(rs), jnp.concatenate(ws)
 
         st = gauss_newton(
             residual_fn,
-            poses,
+            x,
             retract,
             dim=dim,
             iters=oc.gn_iters,
             remap_fn=lambda H, dx: degeneracy.remap_update(H, dx, oc.eig_threshold),
         )
-        poses = st.x
+        x = st.x
         result = st
 
-    info = degeneracy.analyze_blocks(result.H, n_opt, oc.eig_threshold)
+    poses, ext = x
+    info = degeneracy.analyze_blocks(result.H, n_opt + n_ext, oc.eig_threshold)
     solve = WindowSolveResult(
         H=result.H,
         g=result.g,
@@ -286,23 +358,32 @@ def optimize_window(state: WindowState, cfg: MloamConfig):
         n_surf=sum(jnp.sum(pc.w > 0) for pc in plane_corrs),
         eig_min=info.factor,
     )
-    return state._replace(poses=poses), solve
+    return state._replace(poses=poses, ext=ext), solve
 
 
 def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
-                      cfg: MloamConfig) -> WindowState:
+                      cfg: MloamConfig, calibrate_ext: bool = False) -> WindowState:
     """Schur-eliminate the pivot block of the final (H, g) into a prior over
-    the remaining opt poses; re-linearize at the current estimates. The new
-    frame pushed next step enters with a zero prior block (prior stays fixed
-    shape (O+1)*6 with the last block zero)."""
+    the remaining opt poses (+ extrinsics in calib mode); re-linearize at the
+    current estimates. The new frame pushed next step enters with a zero
+    prior block."""
     O = cfg.odometry.opt_window_size
-    dim = (O + 1) * 6
+    dim = prior_dim(cfg, calibrate_ext)
     small = schur_marginalize(solve.H, solve.g, n_drop=6)
-    J = jnp.zeros((dim, dim)).at[: O * 6, : O * 6].set(small.J)
-    r0 = jnp.zeros((dim,)).at[: O * 6].set(small.r0)
+    k = dim - 6  # retained tangent dim
+    # retained layout after the slide: [poses 0..O-1 | ext...], new pose
+    # block O is zero. Old retained layout: [poses 1..O | ext...].
+    old_pose = jnp.arange(O * 6)
+    new_idx = jnp.concatenate([
+        old_pose,                                  # poses keep order
+        jnp.arange((O + 1) * 6, dim),              # ext blocks shift past the
+    ]) if calibrate_ext else old_pose              # zero new-pose block
+    J = jnp.zeros((dim, dim)).at[new_idx[:, None], new_idx[None, :]].set(small.J)
+    r0 = jnp.zeros((dim,)).at[new_idx].set(small.r0)
     return state._replace(
         prior=MargPrior(J=J, r0=r0, valid=jnp.asarray(True)),
         prior_poses=state.poses,
+        prior_ext=state.ext,
     )
 
 

@@ -1,0 +1,169 @@
+"""Distributed pose-graph optimization: factor-sharded Gauss-Newton.
+
+TPU-native counterpart of the reference's PGO thread (``mloam_loop/src/
+pose_graph.cpp:491-653``: Ceres over keyframe (q, t) with sequential
+RelativeRTError edges + loop edges) — re-designed as SPMD bundle adjustment:
+
+  * Edges (sequential + loop constraints) are sharded across the device mesh
+    on their leading axis.
+  * Each device linearizes its edge shard (vmapped analytic-free jacfwd over
+    the 12-dim per-edge tangent) and scatter-adds 6x6 blocks into a local
+    dense (H, g).
+  * One ``psum`` over ICI reduces the normal equations; the damped solve and
+    pose update run replicated (identical on all chips).
+
+This is the "distributed BA with psum reductions" north star of
+BASELINE.json at its smallest useful granularity; keyframe/map-block
+sharding for the mapping backend reuses the same pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.parallel.mesh import FACTOR_AXIS
+
+
+class PoseGraphEdges(NamedTuple):
+    """Padded edge set. i -> j measurement Z = T_i^-1 T_j (expected)."""
+
+    i: jnp.ndarray        # [E] int32 source pose index
+    j: jnp.ndarray        # [E] int32 target pose index
+    z_q: jnp.ndarray      # [E, 4] measured relative rotation
+    z_t: jnp.ndarray      # [E, 3] measured relative translation
+    weight: jnp.ndarray   # [E, 6] per-tangent-dim sqrt-weights (0 = invalid)
+
+
+def edge_residual(Ti: Pose, Tj: Pose, z_q, z_t, weight) -> jnp.ndarray:
+    """[6] weighted tangent error log(Z^-1 (T_i^-1 T_j))."""
+    rel = se3.relative(Ti, Tj)
+    err = se3.boxminus(rel, Pose(z_q, z_t))
+    return weight * err
+
+
+def _linearize_edges(poses: Pose, edges: PoseGraphEdges, anchor_idx: int,
+                     anchor_w: float):
+    """Dense (H, g, cost) over the full N*6 tangent from one edge shard."""
+    n = poses.q.shape[0]
+    dim = n * 6
+
+    def per_edge(ei, ej, zq, zt, w):
+        Ti = Pose(poses.q[ei], poses.t[ei])
+        Tj = Pose(poses.q[ej], poses.t[ej])
+
+        def res(xi):
+            return edge_residual(
+                se3.boxplus(Ti, xi[:6]), se3.boxplus(Tj, xi[6:]), zq, zt, w
+            )
+
+        r = res(jnp.zeros(12))
+        J = jax.jacfwd(res)(jnp.zeros(12))  # [6, 12]
+        return r, J
+
+    r, J = jax.vmap(per_edge)(edges.i, edges.j, edges.z_q, edges.z_t, edges.weight)
+    Ji = J[:, :, :6]
+    Jj = J[:, :, 6:]
+
+    # block scatter-add into dense H
+    H = jnp.zeros((dim, dim))
+    g = jnp.zeros((dim,))
+
+    def blk(ii):  # [E] -> [E, 6] flat tangent indices
+        base = ii[:, None] * 6 + jnp.arange(6)[None, :]
+        return base
+
+    bi, bj = blk(edges.i), blk(edges.j)
+    JiTJi = jnp.einsum("eai,eaj->eij", Ji, Ji)
+    JjTJj = jnp.einsum("eai,eaj->eij", Jj, Jj)
+    JiTJj = jnp.einsum("eai,eaj->eij", Ji, Jj)
+    H = H.at[bi[:, :, None], bi[:, None, :]].add(JiTJi)
+    H = H.at[bj[:, :, None], bj[:, None, :]].add(JjTJj)
+    H = H.at[bi[:, :, None], bj[:, None, :]].add(JiTJj)
+    H = H.at[bj[:, :, None], bi[:, None, :]].add(
+        jnp.swapaxes(JiTJj, -1, -2)
+    )
+    g = g.at[bi].add(jnp.einsum("eai,ea->ei", Ji, r))
+    g = g.at[bj].add(jnp.einsum("eai,ea->ei", Jj, r))
+    cost = 0.5 * jnp.sum(r * r)
+    return H, g, cost
+
+
+def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
+             anchor_w: float = 1e3, lm_lambda: float = 1e-3,
+             axis_name: str | None = None):
+    """One damped GN step over all poses. If ``axis_name`` is set, (H, g,
+    cost) are psum-reduced across that mesh axis (edges sharded per device).
+    """
+    n = poses.q.shape[0]
+    dim = n * 6
+    H, g, cost = _linearize_edges(poses, edges, anchor_idx, anchor_w)
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        g = jax.lax.psum(g, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+    # anchor: strong absolute prior on anchor_idx (first looped pose fixed,
+    # reference pose_graph.cpp:555-569)
+    a0 = anchor_idx * 6
+    H = H.at[a0 + jnp.arange(6), a0 + jnp.arange(6)].add(anchor_w)
+    damp = lm_lambda * (jnp.diagonal(H) + 1e-3)
+    Hd = H + jnp.diag(damp)
+    L = jnp.linalg.cholesky(Hd + 1e-8 * jnp.eye(dim))
+    dx = -jax.scipy.linalg.cho_solve((L, True), g)
+
+    def upd(q, t, i):
+        return se3.boxplus(Pose(q, t), jax.lax.dynamic_slice(dx, (i * 6,), (6,)))
+
+    new = jax.vmap(lambda q, t, i: upd(q, t, i))(
+        poses.q, poses.t, jnp.arange(n)
+    )
+    return Pose(new.q, new.t), cost
+
+
+def optimize_pose_graph(
+    poses: Pose,
+    edges: PoseGraphEdges,
+    iters: int = 10,
+    anchor_idx: int = 0,
+    mesh: Mesh | None = None,
+):
+    """Full PGO: ``iters`` damped GN steps. With a mesh, edges are sharded
+    over FACTOR_AXIS and the reduction rides ICI psum (shard_map)."""
+
+    if mesh is None:
+        def body(_, p):
+            p2, _ = pgo_step(p, edges)
+            return p2
+
+        return jax.lax.fori_loop(0, iters, body, poses)
+
+    n_dev = mesh.devices.size
+    e = edges.i.shape[0]
+    pad = (-e) % n_dev
+    edges_p = jax.tree.map(
+        lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)), edges
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), PoseGraphEdges(P(FACTOR_AXIS), P(FACTOR_AXIS),
+                                      P(FACTOR_AXIS), P(FACTOR_AXIS),
+                                      P(FACTOR_AXIS)),),
+        out_specs=P(),
+    )
+    def run(p, e_shard):
+        def body(_, pp):
+            p2, _ = pgo_step(pp, e_shard, anchor_idx=anchor_idx,
+                             axis_name=FACTOR_AXIS)
+            return p2
+
+        return jax.lax.fori_loop(0, iters, body, p)
+
+    return run(poses, edges_p)

@@ -1,0 +1,83 @@
+"""Hand-eye extrinsic initialization: recovery on synthetic motion pairs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mloam_tpu.core import rotations as rot
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.odometry import initializer as I
+
+
+def make_buffer(key, X: Pose, n=60, rot_scale=0.2, noise=0.0,
+                axes="all") -> I.MotionBuffer:
+    """Motion pairs: A_k (ref frame), B_k = X^-1 A_k X (+ noise)."""
+    buf = I.MotionBuffer.empty(128)
+    keys = jax.random.split(key, n)
+    for k in keys:
+        k1, k2, k3 = jax.random.split(k, 3)
+        phi = rot_scale * jax.random.normal(k1, (3,))
+        if axes == "yaw_only":
+            phi = phi.at[:2].set(0.0)
+        xi = jnp.concatenate([0.3 * jax.random.normal(k2, (3,)), phi])
+        A = se3.exp(xi)
+        B = se3.compose(se3.compose(se3.inverse(X), A), X)
+        if noise > 0:
+            B = se3.boxplus(B, noise * jax.random.normal(k3, (6,)))
+        buf = I.add_pair(buf, A, B)
+    return buf
+
+
+class TestHandEye:
+    def test_exact_recovery(self):
+        X = se3.exp(jnp.array([0.5, -0.3, 0.2, 0.3, -0.2, 0.9]))
+        buf = make_buffer(jax.random.PRNGKey(0), X)
+        est, rsol = I.calibrate(buf)
+        assert bool(rsol.converged)
+        err = se3.boxminus(est, X)
+        assert float(jnp.linalg.norm(err)) < 1e-3
+
+    def test_noisy_recovery(self):
+        X = se3.exp(jnp.array([0.5, -0.3, 0.2, 0.3, -0.2, 0.9]))
+        buf = make_buffer(jax.random.PRNGKey(1), X, n=100, noise=0.005)
+        est, rsol = I.calibrate(buf)
+        assert bool(rsol.converged)
+        err = se3.boxminus(est, X)
+        assert float(jnp.linalg.norm(err)) < 0.05
+
+    def test_yaw_only_motion_does_not_converge(self):
+        # planar yaw-only motion leaves roll/pitch of the extrinsic
+        # unobservable: sigma2 gate must reject (reference's planar-motion
+        # degeneracy, initial_extrinsics.cpp:205-241)
+        X = se3.exp(jnp.array([0.5, -0.3, 0.0, 0.0, 0.0, 0.9]))
+        buf = make_buffer(jax.random.PRNGKey(2), X, axes="yaw_only")
+        _, rsol = I.calibrate(buf)
+        assert not bool(rsol.converged)
+
+    def test_planar_variant_recovers_xy_yaw(self):
+        X = se3.exp(jnp.array([0.5, -0.3, 0.0, 0.0, 0.0, 0.9]))
+        buf = make_buffer(jax.random.PRNGKey(3), X, axes="yaw_only")
+        est, _ = I.calibrate(buf, planar=True)
+        # xy and yaw should match; z unobservable
+        np.testing.assert_allclose(est.t[:2], X.t[:2], atol=0.02)
+        yaw_est = rot.so3_log(est.q)[2]
+        yaw_gt = rot.so3_log(X.q)[2]
+        np.testing.assert_allclose(yaw_est, yaw_gt, atol=0.02)
+
+    def test_screw_filter_rejects_inconsistent(self):
+        A = se3.exp(jnp.array([0.3, 0, 0, 0.2, 0, 0]))
+        B_bad = se3.exp(jnp.array([0.3, 0, 0, 0.5, 0, 0]))  # wrong angle
+        assert not bool(I.screw_consistent(A, B_bad))
+        X = se3.exp(jnp.array([0.1, 0.2, 0.3, 0.1, 0.2, 0.3]))
+        B_good = se3.compose(se3.compose(se3.inverse(X), A), X)
+        assert bool(I.screw_consistent(A, B_good))
+
+    def test_buffer_ring_overwrite(self):
+        buf = I.MotionBuffer.empty(4)
+        A = se3.exp(jnp.array([0.1, 0, 0, 0.3, 0, 0]))
+        for i in range(6):
+            buf = I.add_pair(buf, A, A)
+        assert int(buf.head) == 6
+        assert bool(buf.mask.all())
