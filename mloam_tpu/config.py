@@ -86,6 +86,7 @@ class CalibConfig:
     estimator.cpp calib branch)."""
 
     n_pose_buffer: int = 300
+    pair_stride: int = 3             # compose tracker motions over K sweeps
     screw_rot_epsilon: float = 0.05
     screw_trans_epsilon: float = 0.1
     rot_converge_sv: float = 0.25    # 2nd-smallest singular value gate

@@ -3,13 +3,21 @@ jitted device programs).
 
 Counterpart of the reference's per-platform ROS nodes + ``Estimator::
 inputCloud/processMeasurements`` wiring (``estimator/src/rosNode*.cpp``,
-``estimator.cpp:213-281,343-374``): here a plain Python class owning three
-jitted programs — frontend (segment + extract), tracker step, window step —
-and the small host state machine (INITIAL → NON_LINEAR, reference
-estimator.cpp:499-530).
+``estimator.cpp:213-281,343-374``), including the online extrinsic
+calibration lifecycle (SURVEY §3.4):
 
-All device programs have fixed shapes; each compiles exactly once per
-(lidar model, config) pair.
+  ESTIMATE_EXTRINSIC==2  no prior: every lidar is tracked scan-to-scan on
+      its own; screw-consistent motion pairs feed the hand-eye initializer;
+      the window solve matches the reference lidar only. On σ2-convergence
+      the solved extrinsics are installed and the mode drops to 1.
+  ==1  refinement: extrinsic blocks join the window tangent; whenever the
+      extrinsic Hessian blocks are well-conditioned the estimate is
+      collected; after n_calib_samples the Lie mean is frozen in
+      (computeMeanPose), the marginalization prior is discarded
+      (estimator.cpp:1709-1732) and the mode drops to 0.
+  ==0  pure odometry with fixed extrinsics, all lidars contributing.
+
+All device programs have fixed shapes; each compiles once per mode.
 """
 
 from __future__ import annotations
@@ -19,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mloam_tpu.config import MloamConfig
 from mloam_tpu.core import se3
@@ -28,12 +37,15 @@ from mloam_tpu.frontend import features as F
 from mloam_tpu.frontend import segmentation as S
 from mloam_tpu.frontend.features import FeatureFrame, downsample_featcloud
 from mloam_tpu.odometry import estimator as E
+from mloam_tpu.odometry import initializer as I
 from mloam_tpu.odometry import tracker as TR
 
 
 class OdometryOutput(NamedTuple):
     pose: Pose            # world <- base at sweep start (refined)
     pose_predict: Pose    # tracker-only prediction (high-rate path)
+    extrinsics: Pose      # [L] current base <- lidar estimates
+    ext_mode: int         # live ESTIMATE_EXTRINSIC state
     cost: jnp.ndarray
     n_corner: jnp.ndarray
     n_surf: jnp.ndarray
@@ -50,22 +62,51 @@ class OdometryPipeline:
         self.cfg = cfg
         L = cfg.rig.n_lidars
         self.frame_idx = 0
+        self.ext_mode = cfg.rig.extrinsic_mode if L > 1 else 0
         self.window = E.init_window(
             cfg, cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
         )
         self.prev_feats: list[FeatureFrame | None] = [None] * L
-        self.motion: Pose = Pose.identity()  # prev <- curr (per-sweep)
+        self.motions: list[Pose] = [Pose.identity() for _ in range(L)]
         self.world_pose: Pose = Pose.identity()
+        self.calib_buffers = [I.MotionBuffer.empty(cfg.calib.n_pose_buffer)
+                              for _ in range(L)]
+        # per-lidar motion accumulated over calib.pair_stride sweeps: longer
+        # baselines raise the pair SNR (tracker noise is absolute while the
+        # signal grows with the stride)
+        self.pair_accum: list[Pose] = [Pose.identity() for _ in range(L)]
+        self.ext_samples: list[list] = [[] for _ in range(L)]
+        self.ext_cov: np.ndarray | None = None
 
         self._frontends = [
             jax.jit(functools.partial(self._frontend_impl, model_idx=l))
             for l in range(L)
         ]
         self._track = jax.jit(self._track_impl)
-        self._window_step = jax.jit(self._window_step_impl)
         self._push_only = jax.jit(self._push_only_impl)
-        self._deskew = jax.jit(
-            lambda fc, T: TR.deskew_features(T, fc)
+        self._window_ref = jax.jit(
+            functools.partial(self._window_step_impl, calibrate_ext=False,
+                              lidars=(0,))
+        )
+        self._window_all = jax.jit(
+            functools.partial(self._window_step_impl, calibrate_ext=False,
+                              lidars=tuple(range(L)))
+        )
+        self._window_calib = jax.jit(
+            functools.partial(self._window_step_impl, calibrate_ext=True,
+                              lidars=tuple(range(L)))
+        )
+        self._deskew = jax.jit(lambda fc, T: TR.deskew_features(T, fc))
+        self._add_pair = jax.jit(
+            functools.partial(
+                I.add_pair,
+                eps_r=cfg.calib.screw_rot_epsilon,
+                eps_t=cfg.calib.screw_trans_epsilon,
+            )
+        )
+        self._calibrate = jax.jit(
+            functools.partial(I.calibrate, planar=cfg.calib.planar,
+                              sv_threshold=cfg.calib.rot_converge_sv)
         )
 
     # ---------------- device programs ----------------
@@ -90,19 +131,83 @@ class OdometryPipeline:
     def _push_only_impl(self, window, pose, corner, surf):
         return E.push_frame(window, pose, corner, surf, self.cfg)
 
-    def _window_step_impl(self, window, pose, corner, surf):
+    def _window_step_impl(self, window, pose, corner, surf, calibrate_ext,
+                          lidars):
         window = E.push_frame(window, pose, corner, surf, self.cfg)
-        window, solve = E.optimize_window(window, self.cfg)
-        window = E.marginalize_pivot(window, solve, self.cfg)
+        window, solve = E.optimize_window(window, self.cfg, calibrate_ext,
+                                          lidars)
+        window = E.marginalize_pivot(window, solve, self.cfg, calibrate_ext)
         return window, solve
 
     # ---------------- host orchestration ----------------
+
+    def _window_fn(self):
+        if self.ext_mode == 2:
+            return self._window_ref
+        if self.ext_mode == 1:
+            return self._window_calib
+        return self._window_all
+
+    def _try_init_calib(self):
+        """Hand-eye solve for every non-ref lidar; install on convergence."""
+        cfg = self.cfg
+        L = cfg.rig.n_lidars
+        exts, ok = [Pose.identity()], True
+        for l in range(1, L):
+            est, rsol = self._calibrate(self.calib_buffers[l])
+            if bool(rsol.converged):
+                exts.append(est)
+            else:
+                ok = False
+                break
+        if ok:
+            ext = Pose(jnp.stack([e.q for e in exts]),
+                       jnp.stack([e.t for e in exts]))
+            self.window = E.set_extrinsics(self.window, ext)
+            self.window = E.reset_prior(self.window, cfg, calibrate_ext=True)
+            self.ext_mode = 1
+
+    def _collect_calib_sample(self, solve):
+        """evalCalib voting (estimator.cpp:1682-1734): collect extrinsic
+        samples whenever the extrinsic Hessian blocks are well-conditioned;
+        freeze the Lie mean after n_calib_samples."""
+        cfg = self.cfg
+        L = cfg.rig.n_lidars
+        n_opt = cfg.odometry.opt_window_size + 1
+        eig = np.asarray(solve.eig_min)
+        done = True
+        for l in range(1, L):
+            lam = eig[n_opt + (l - 1)]
+            if lam > cfg.calib.lambda_threshold:
+                self.ext_samples[l].append(
+                    (np.asarray(self.window.ext.q[l]),
+                     np.asarray(self.window.ext.t[l]))
+                )
+            if len(self.ext_samples[l]) < cfg.calib.n_calib_samples:
+                done = False
+        if done:
+            exts_q, exts_t, covs = [np.array([1.0, 0, 0, 0])], [np.zeros(3)], []
+            for l in range(1, L):
+                qs = jnp.asarray(np.stack([s[0] for s in self.ext_samples[l]]))
+                ts = jnp.asarray(np.stack([s[1] for s in self.ext_samples[l]]))
+                # drop the first third (reference computeMeanPose)
+                k = qs.shape[0] // 3
+                mu = se3.mean_pose(Pose(qs[k:], ts[k:]))
+                cov = se3.tangent_scatter(Pose(qs[k:], ts[k:]), mu)
+                exts_q.append(np.asarray(mu.q))
+                exts_t.append(np.asarray(mu.t))
+                covs.append(np.asarray(cov))
+            ext = Pose(jnp.asarray(np.stack(exts_q)), jnp.asarray(np.stack(exts_t)))
+            self.ext_cov = np.stack(covs)
+            self.window = E.set_extrinsics(self.window, ext)
+            self.window = E.reset_prior(self.window, cfg, calibrate_ext=False)
+            self.ext_mode = 0
 
     def process(self, imgs: list[RangeImage]) -> OdometryOutput:
         cfg = self.cfg
         L = cfg.rig.n_lidars
         assert len(imgs) == L
-        # frontend + tracking on the primary lidar
+
         ffs, corners, surfs = [], [], []
         for l, img in enumerate(imgs):
             ff, c, s = self._frontends[l](img)
@@ -111,7 +216,6 @@ class OdometryPipeline:
             surfs.append(s)
 
         if self.prev_feats[0] is None:
-            # first sweep: identity pose, seed the tracker targets
             self.prev_feats = ffs
             pose = self.world_pose
             corner = jax.tree.map(lambda *x: jnp.stack(x), *corners)
@@ -119,22 +223,48 @@ class OdometryPipeline:
             self.window = self._push_only(self.window, pose, corner, surf)
             self.frame_idx += 1
             return OdometryOutput(
-                pose=pose, pose_predict=pose,
-                cost=jnp.asarray(0.0), n_corner=jnp.asarray(0), n_surf=jnp.asarray(0),
+                pose=pose, pose_predict=pose, extrinsics=self.window.ext,
+                ext_mode=self.ext_mode, cost=jnp.asarray(0.0),
+                n_corner=jnp.asarray(0), n_surf=jnp.asarray(0),
             )
 
-        res, deskewed0 = self._track(self.prev_feats[0], ffs[0], self.motion)
-        self.motion = res.pose
-        self.prev_feats = [deskewed0] + ffs[1:]
-        pred = se3.compose(self.world_pose, res.pose)
+        # --- scan-to-scan tracking (primary always; all lidars in mode 2)
+        res0, desk0 = self._track(self.prev_feats[0], ffs[0], self.motions[0])
+        self.motions[0] = res0.pose
+        new_prev = [desk0]
+        if self.ext_mode == 2:
+            self.pair_accum[0] = se3.compose(self.pair_accum[0], res0.pose)
+            for l in range(1, L):
+                res_l, desk_l = self._track(
+                    self.prev_feats[l], ffs[l], self.motions[l]
+                )
+                self.motions[l] = res_l.pose
+                new_prev.append(desk_l)
+                self.pair_accum[l] = se3.compose(self.pair_accum[l], res_l.pose)
+            if self.frame_idx % cfg.calib.pair_stride == 0:
+                for l in range(1, L):
+                    self.calib_buffers[l] = self._add_pair(
+                        self.calib_buffers[l], self.pair_accum[0],
+                        self.pair_accum[l],
+                    )
+                self.pair_accum = [Pose.identity() for _ in range(L)]
+                self._try_init_calib()
+        else:
+            new_prev += ffs[1:]
+        self.prev_feats = new_prev
+        pred = se3.compose(self.world_pose, res0.pose)
 
-        # de-skew window features with the tracked sweep motion (per lidar,
-        # through its extrinsic: motion_l = E_l^-1 ∘ motion ∘ E_l)
+        # --- de-skew window features with the tracked sweep motion
         if cfg.tracker.deskew:
             ext = self.window.ext
             for l in range(L):
-                El = Pose(ext.q[l], ext.t[l])
-                m_l = se3.compose(se3.compose(se3.inverse(El), res.pose), El)
+                if self.ext_mode == 2 and l > 0:
+                    m_l = self.motions[l]
+                else:
+                    El = Pose(ext.q[l], ext.t[l])
+                    m_l = se3.compose(
+                        se3.compose(se3.inverse(El), res0.pose), El
+                    )
                 corners[l] = self._deskew(corners[l], m_l)
                 surfs[l] = self._deskew(surfs[l], m_l)
         corner = jax.tree.map(lambda *x: jnp.stack(x), *corners)
@@ -142,20 +272,25 @@ class OdometryPipeline:
 
         warm = self.frame_idx >= cfg.odometry.window_size
         if warm:
-            self.window, solve = self._window_step(self.window, pred, corner, surf)
+            self.window, solve = self._window_fn()(
+                self.window, pred, corner, surf
+            )
             refined = Pose(self.window.poses.q[-1], self.window.poses.t[-1])
-            # keep the tracker's motion but adopt the refined world pose
             self.world_pose = refined
+            if self.ext_mode == 1:
+                self._collect_calib_sample(solve)
             out = OdometryOutput(
-                pose=refined, pose_predict=pred, cost=solve.cost,
+                pose=refined, pose_predict=pred, extrinsics=self.window.ext,
+                ext_mode=self.ext_mode, cost=solve.cost,
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
             )
         else:
             self.window = self._push_only(self.window, pred, corner, surf)
             self.world_pose = pred
             out = OdometryOutput(
-                pose=pred, pose_predict=pred, cost=res.cost,
-                n_corner=res.n_edge, n_surf=res.n_plane,
+                pose=pred, pose_predict=pred, extrinsics=self.window.ext,
+                ext_mode=self.ext_mode, cost=res0.cost,
+                n_corner=res0.n_edge, n_surf=res0.n_plane,
             )
         self.frame_idx += 1
         return out

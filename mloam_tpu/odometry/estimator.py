@@ -152,7 +152,7 @@ def build_local_map(state: WindowState, cfg: MloamConfig):
                 return se3.transform_points(T, x), m
 
             return jax.vmap(per_lidar)(
-                state.ext.q, state.ext.t, xyz, mask & fresh[None]
+                state.ext.q, state.ext.t, xyz, mask & fresh[:, None]
             )
 
         s_idx = jnp.arange(s)

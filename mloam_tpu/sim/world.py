@@ -180,12 +180,15 @@ def render_scan(
 
 
 class Trajectory(NamedTuple):
-    """Smooth parametric trajectory: position/yaw as sums of sinusoids."""
+    """Smooth parametric trajectory: position/yaw as sums of sinusoids,
+    optional roll/pitch wobble (handheld-style motion — needed for full
+    hand-eye observability, which requires rotation about >= 2 axes)."""
 
     amp: jnp.ndarray    # [K, 3] xyz amplitudes
     freq: jnp.ndarray   # [K] rad/s
     phase: jnp.ndarray  # [K, 3]
     yaw_rate: float
+    wobble: float       # roll/pitch amplitude (rad); 0 = planar
 
     def pose(self, t) -> Pose:
         t = jnp.asarray(t, jnp.float32)
@@ -193,19 +196,25 @@ class Trajectory(NamedTuple):
         pos = jnp.sum(self.amp * jnp.sin(arg), axis=-2)
         pos = pos.at[..., 2].set(0.6 + 0.05 * jnp.sum(jnp.sin(arg[..., 2]), -1))
         yaw = self.yaw_rate * t
-        q = rot.so3_exp_quat(
+        roll = self.wobble * jnp.sin(1.7 * t + 0.3)
+        pitch = self.wobble * jnp.sin(2.3 * t + 1.1)
+        q_yaw = rot.so3_exp_quat(
             jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], -1)
         )
-        return Pose(q, pos)
+        q_rp = rot.so3_exp_quat(
+            jnp.stack([roll, pitch, jnp.zeros_like(yaw)], -1)
+        )
+        return Pose(rot.quat_multiply(q_yaw, q_rp), pos)
 
 
-def make_trajectory(key: jax.Array, speed_scale: float = 1.0) -> Trajectory:
+def make_trajectory(key: jax.Array, speed_scale: float = 1.0,
+                    wobble: float = 0.0) -> Trajectory:
     k1, k2 = jax.random.split(key)
     amp = jnp.array([[6.0, 4.0, 0.3], [1.5, 2.0, 0.2], [0.4, 0.3, 0.1]]) * speed_scale
     freq = jnp.array([0.11, 0.31, 0.83])
     phase = jax.random.uniform(k1, (3, 3), minval=0, maxval=2 * jnp.pi)
     yaw_rate = float(0.25 * speed_scale)
-    return Trajectory(amp, freq, phase, yaw_rate)
+    return Trajectory(amp, freq, phase, yaw_rate, wobble)
 
 
 def render_sequence(

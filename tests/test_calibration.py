@@ -81,3 +81,44 @@ class TestHandEye:
             buf = I.add_pair(buf, A, A)
         assert int(buf.head) == 6
         assert bool(buf.mask.all())
+
+
+class TestOnlineCalibration:
+    """Mode-1 refinement on a simulated dual-lidar rig (trimmed for CI)."""
+
+    def test_window_refinement_reduces_extrinsic_error(self):
+        import dataclasses
+
+        from mloam_tpu.core.rangeimage import RangeImage
+        from mloam_tpu.models import platforms
+        from mloam_tpu.models.pipeline import OdometryPipeline
+        from mloam_tpu.odometry import estimator as E
+        from mloam_tpu.sim import world as W
+
+        cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=1)
+        cfg = dataclasses.replace(
+            cfg, calib=dataclasses.replace(cfg.calib, n_calib_samples=1000)
+        )
+        w = W.make_world(jax.random.PRNGKey(0))
+        traj = W.make_trajectory(jax.random.PRNGKey(1), wobble=0.1)
+        model = cfg.rig.models[0]
+        X_gt = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+        n = 12
+        imgs0, _ = W.render_sequence(w, traj, model, n)
+        imgs1, _ = W.render_sequence(w, traj, model, n, extrinsic=X_gt)
+        pipe = OdometryPipeline(cfg)
+        pipe.ext_mode = 1
+        X0 = se3.boxplus(X_gt, jnp.array([0.05, -0.03, 0.02, 0.02, -0.01, 0.03]))
+        err0 = float(jnp.linalg.norm(se3.boxminus(X0, X_gt)))
+        ext = Pose(jnp.stack([Pose.identity().q, X0.q]),
+                   jnp.stack([Pose.identity().t, X0.t]))
+        pipe.window = E.set_extrinsics(pipe.window, ext)
+        pipe.window = E.reset_prior(pipe.window, cfg, calibrate_ext=True)
+        for i in range(n):
+            img0 = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs0])
+            img1 = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs1])
+            out = pipe.process([img0, img1])
+        ext1 = Pose(out.extrinsics.q[1], out.extrinsics.t[1])
+        err = float(jnp.linalg.norm(se3.boxminus(ext1, X_gt)))
+        assert err < 0.6 * err0, f"refinement did not converge: {err0} -> {err}"
+        assert err < 0.05
