@@ -100,6 +100,7 @@ class CalibConfig:
 class MappingConfig:
     """Keyframe mapping backend (reference lidar_mapper_keyframe.cpp)."""
 
+    skip_frames: int = 2             # run mapping every Nth sweep (SKIP_NUM_ODOM_PUB)
     corner_leaf: float = 0.2
     surf_leaf: float = 0.4
     outlier_leaf: float = 0.8

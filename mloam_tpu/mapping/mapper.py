@@ -1,0 +1,240 @@
+"""Uncertainty-aware keyframe mapping backend (scan-to-map refinement).
+
+Counterpart of the reference's ``lidar_mapper_keyframe.cpp`` process loop
+(:929-1114): odometry-to-map association (``transformAssociateToMap`` :145),
+surrounding-keyframe map assembly with covariance compounding
+(``extractSurroundingKeyFrames`` :254-354 + ``cloudUCTAssociateToMap``
+:1116-1158), uncertainty-gated downsampling of the current scan
+(``downsampleCurrentScan`` :356-421), two-round scan-to-map Gauss-Newton
+with covariance-weighted factors and degeneracy remapping
+(``scan2MapOptimization`` :423-639, ``LidarMapPlaneNormFactor`` weights),
+pose covariance = H⁻¹ (:602-618), and motion-gated keyframe insertion
+(``saveKeyframe`` :641-683).
+
+TPU design: the surround map is a gather over the keyframe ring + one
+uncertainty-weighted voxel reduction; correspondences are batched kNN; the
+single-pose GN reuses the generic solver. The whole step is one jitted
+program; only the keyframe-insertion decision returns to the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mloam_tpu.config import MloamConfig
+from mloam_tpu.core import se3, uncertainty
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.frontend.features import FeatCloud
+from mloam_tpu.mapping import keyframes as KF
+from mloam_tpu.ops import voxel
+from mloam_tpu.solver import degeneracy, factors
+from mloam_tpu.solver.gauss_newton import gauss_newton
+
+
+class MapperState(NamedTuple):
+    db: KF.KeyframeDB
+    pose_map_odom: Pose   # map <- odom drift correction
+    last_kf_pose: Pose
+    ext_cov: jnp.ndarray  # [6, 6] extrinsic covariance (uncertainty source)
+    cov_meas: jnp.ndarray  # [3, 3] measurement covariance
+
+
+class MapperOutput(NamedTuple):
+    pose: Pose            # map <- base refined
+    cov: jnp.ndarray      # [6, 6] pose covariance (H^-1)
+    cost: jnp.ndarray
+    n_corner: jnp.ndarray
+    n_surf: jnp.ndarray
+    eig_min: jnp.ndarray
+    inserted_kf: jnp.ndarray  # bool
+
+
+def init_state(cfg: MloamConfig) -> MapperState:
+    mc = cfg.mapping
+    db = KF.empty_db(mc.max_keyframes, cfg.odometry.cap_frame_corner,
+                     cfg.odometry.cap_frame_surf)
+    return MapperState(
+        db=db,
+        pose_map_odom=Pose.identity(),
+        last_kf_pose=Pose(jnp.array([1.0, 0, 0, 0]),
+                          jnp.array([1e6, 1e6, 1e6])),  # force first keyframe
+        ext_cov=jnp.zeros((6, 6)),
+        cov_meas=1e-4 * jnp.eye(3),
+    )
+
+
+def _assemble_map(state: MapperState, center: jnp.ndarray, cfg: MloamConfig,
+                  n_surround: int = 50):
+    """Surround-keyframe gather -> world-frame cov-clouds -> uncertainty-
+    weighted voxel filter. Returns (c_xyz, c_mask, s_xyz, s_mask, s_cov)."""
+    mc = cfg.mapping
+    idx, ok = KF.surrounding(state.db, center, mc.surround_radius, n_surround)
+
+    def project(stack: FeatCloud, leaf: float):
+        xyz = stack.xyz[idx]          # [M, N, 3]
+        mask = stack.mask[idx] & ok[:, None]
+        q = state.db.poses.q[idx]
+        t = state.db.poses.t[idx]
+        cov_pose = state.db.cov[idx]  # [M, 6, 6]
+
+        def per_kf(q, t, c, x, m):
+            pose = Pose(q, t)
+            y = se3.transform_points(pose, x)
+            cov_pt = uncertainty.point_cov_pushforward(
+                x, pose, c + state.ext_cov, state.cov_meas
+            )
+            return y, cov_pt, m
+
+        y, cov_pt, m = jax.vmap(per_kf)(q, t, cov_pose, xyz, mask)
+        flat_xyz = y.reshape(-1, 3)
+        flat_cov = cov_pt.reshape(-1, 3, 3)
+        flat_m = m.reshape(-1)
+        ds_xyz, ds_cov, ds_m, _ = voxel.voxel_downsample_with_cov(
+            flat_xyz, flat_cov, flat_m, leaf, mc.voxel_trace_threshold
+        )
+        return ds_xyz, ds_cov, ds_m
+
+    c_xyz, c_cov, c_m = project(state.db.corner, mc.corner_leaf)
+    s_xyz, s_cov, s_m = project(state.db.surf, mc.surf_leaf)
+    return c_xyz, c_cov, c_m, s_xyz, s_cov, s_m
+
+
+def scan_to_map(
+    state: MapperState,
+    pose_pred: Pose,
+    corner: FeatCloud,
+    surf: FeatCloud,
+    cfg: MloamConfig,
+):
+    """Refine pose_pred against the surround map. corner/surf in base frame.
+
+    Returns (pose, cov, cost, n_corner, n_surf, eig_min).
+    """
+    mc = cfg.mapping
+    c_xyz, c_cov, c_m, s_xyz, s_cov, s_m = _assemble_map(
+        state, pose_pred.t, cfg
+    )
+
+    # current-scan uncertainty gate (downsampleCurrentScan :356-421)
+    def gate(fc: FeatCloud):
+        cov_pt = uncertainty.point_cov_pushforward(
+            fc.xyz, Pose.identity(), state.ext_cov, state.cov_meas
+        )
+        tr = jnp.trace(cov_pt, axis1=-2, axis2=-1)
+        keep = fc.mask & (tr < mc.trace_threshold)
+        return fc._replace(mask=keep), tr
+
+    corner, _ = gate(corner)
+    surf, surf_tr = gate(surf)
+
+    pose = pose_pred
+    result = None
+    ec = pc = None
+    for _ in range(mc.outer_iters):
+        proj_c = se3.transform_points(pose, corner.xyz)
+        proj_s = se3.transform_points(pose, surf.xyz)
+        ec = factors.match_map_edge(
+            corner, proj_c, c_xyz, c_m, cfg.odometry.dist_sq_threshold
+        )
+        pc = factors.match_map_plane(
+            surf, proj_s, s_xyz, s_m, cfg.odometry.dist_sq_threshold
+        )
+        # covariance-aware weights (LidarMapPlaneNormFactor sqrt_info,
+        # lidar_map_factor.hpp:26-141): down-weight high-uncertainty points
+        w_unc = jnp.clip(
+            1.0 / (1.0 + jnp.nan_to_num(surf_tr, nan=1e3)), 0.05, 1.0
+        )
+        pc = pc._replace(w=pc.w * w_unc)
+
+        def residual_fn(T: Pose):
+            re = factors.edge_residual(se3.transform_points(T, ec.p), ec)
+            we = factors.robust_weights(
+                jnp.sum(re * re, -1), ec.w, "huber", cfg.odometry.huber_delta
+            )
+            rp = factors.plane_residual(se3.transform_points(T, pc.p), pc)
+            wp = factors.robust_weights(
+                rp * rp, pc.w, "huber", cfg.odometry.huber_delta
+            )
+            return (
+                jnp.concatenate([re.reshape(-1), rp]),
+                jnp.concatenate([jnp.repeat(we, 3), wp]),
+            )
+
+        st = gauss_newton(
+            residual_fn,
+            pose,
+            lambda T, dx: se3.boxplus(T, dx),
+            dim=6,
+            iters=mc.gn_iters,
+            remap_fn=lambda H, dx: degeneracy.remap_update(
+                H, dx, mc.eig_threshold
+            ),
+        )
+        pose = st.x
+        result = st
+
+    info = degeneracy.analyze_blocks(result.H, 1, mc.eig_threshold)
+    vals, vecs = jnp.linalg.eigh(result.H)
+    inv_vals = jnp.where(vals > 1e-6, 1.0 / jnp.maximum(vals, 1e-6), 1e6)
+    cov = (vecs * inv_vals[None, :]) @ vecs.T
+    return (
+        pose, cov, result.cost,
+        jnp.sum(ec.w > 0), jnp.sum(pc.w > 0), info.factor[0],
+    )
+
+
+def mapper_step(
+    state: MapperState,
+    odom_pose: Pose,
+    corner: FeatCloud,
+    surf: FeatCloud,
+    cfg: MloamConfig,
+) -> tuple[MapperState, MapperOutput]:
+    """One mapping update. ``odom_pose`` is the odometry-frame pose;
+    corner/surf are the current sweep's features in the base frame (already
+    merged over lidars through their extrinsics)."""
+    mc = cfg.mapping
+    pose_pred = se3.compose(state.pose_map_odom, odom_pose)
+
+    has_map = state.db.valid.any()
+
+    def refine(_):
+        return scan_to_map(state, pose_pred, corner, surf, cfg)
+
+    def passthrough(_):
+        return (
+            pose_pred, jnp.eye(6) * 1e-2, jnp.asarray(0.0),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0),
+        )
+
+    pose, cov, cost, nc, ns, eig = jax.lax.cond(
+        has_map, refine, passthrough, None
+    )
+
+    # drift correction update (transformUpdate :154)
+    pose_map_odom = se3.compose(pose, se3.inverse(odom_pose))
+
+    # keyframe insertion
+    ins = KF.should_insert(pose, state.last_kf_pose, mc.keyframe_dist,
+                           mc.keyframe_angle_deg)
+    db = jax.tree.map(
+        lambda a, b: jnp.where(ins, a, b),
+        KF.insert(state.db, pose, cov, corner, surf),
+        state.db,
+    )
+    last_kf = jax.tree.map(
+        lambda a, b: jnp.where(ins, a, b), pose, state.last_kf_pose
+    )
+
+    new_state = state._replace(
+        db=db, pose_map_odom=pose_map_odom, last_kf_pose=last_kf
+    )
+    out = MapperOutput(
+        pose=pose, cov=cov, cost=cost, n_corner=nc, n_surf=ns,
+        eig_min=eig, inserted_kf=ins,
+    )
+    return new_state, out

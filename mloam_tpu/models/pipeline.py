@@ -294,3 +294,84 @@ class OdometryPipeline:
             )
         self.frame_idx += 1
         return out
+
+
+class FullOutput(NamedTuple):
+    odom: OdometryOutput
+    map_pose: Pose            # map <- base (best available estimate)
+    map_cov: jnp.ndarray | None
+    mapped: bool              # whether the mapper ran this sweep
+
+
+class FullPipeline:
+    """Odometry + uncertainty-aware keyframe mapping.
+
+    Counterpart of the reference's two-process layout (odometry node +
+    lidar_mapper_keyframe node): the mapper consumes every
+    ``mapping.skip_frames``-th sweep (SKIP_NUM_ODOM_PUB semantics,
+    lidar_mapper_keyframe.cpp:1256) and maintains the map<-odom drift
+    correction; between mapping updates the corrected odometry pose is
+    reported (the reference's high-frequency prediction path :205-234).
+    """
+
+    def __init__(self, cfg: MloamConfig):
+        from mloam_tpu.mapping import mapper as MP
+
+        self.cfg = cfg
+        self.odom = OdometryPipeline(cfg)
+        self.mapper_state = MP.init_state(cfg)
+        self._mapper_step = jax.jit(
+            functools.partial(MP.mapper_step, cfg=cfg)
+        )
+        self._merge = jax.jit(self._merge_impl)
+
+    def _merge_impl(self, ext: Pose, corners, surfs):
+        """Project per-lidar feature clouds through extrinsics into the base
+        frame and concatenate (fixed total capacity L * cap)."""
+        from mloam_tpu.frontend.features import FeatCloud
+
+        def proj(fc_list):
+            parts = []
+            for l, fc in enumerate(fc_list):
+                El = Pose(ext.q[l], ext.t[l])
+                parts.append(fc._replace(
+                    xyz=se3.transform_points(El, fc.xyz)
+                ))
+            return FeatCloud(
+                xyz=jnp.concatenate([p.xyz for p in parts]),
+                mask=jnp.concatenate([p.mask for p in parts]),
+                time=jnp.concatenate([p.time for p in parts]),
+                ring=jnp.concatenate([p.ring for p in parts]),
+            )
+
+        return proj(corners), proj(surfs)
+
+    def process(self, imgs: list[RangeImage]) -> FullOutput:
+        cfg = self.cfg
+        out = self.odom.process(imgs)
+        idx = self.odom.frame_idx - 1  # frame just processed
+        run_map = (
+            idx % cfg.mapping.skip_frames == 0
+            and idx >= cfg.odometry.window_size
+        )
+        if run_map:
+            # latest per-frame window features (slot -1) merged over lidars
+            L = cfg.rig.n_lidars
+            corners = [
+                jax.tree.map(lambda x: x[-1, l], self.odom.window.corner)
+                for l in range(L)
+            ]
+            surfs = [
+                jax.tree.map(lambda x: x[-1, l], self.odom.window.surf)
+                for l in range(L)
+            ]
+            corner_b, surf_b = self._merge(self.odom.window.ext, corners, surfs)
+            self.mapper_state, mout = self._mapper_step(
+                self.mapper_state, out.pose, corner_b, surf_b
+            )
+            return FullOutput(
+                odom=out, map_pose=mout.pose, map_cov=mout.cov, mapped=True
+            )
+        map_pose = se3.compose(self.mapper_state.pose_map_odom, out.pose)
+        return FullOutput(odom=out, map_pose=map_pose, map_cov=None,
+                          mapped=False)

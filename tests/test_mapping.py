@@ -1,0 +1,83 @@
+"""Mapping backend: keyframe DB mechanics + full-pipeline ATE improvement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.core.rangeimage import RangeImage
+from mloam_tpu.frontend.features import FeatCloud
+from mloam_tpu.mapping import keyframes as KF
+from mloam_tpu.models import platforms
+from mloam_tpu.models.pipeline import FullPipeline
+from mloam_tpu.models.run_synthetic import render
+from mloam_tpu.utils import evaluation
+
+
+class TestKeyframeDB:
+    def test_insert_and_ring(self):
+        db = KF.empty_db(4, 8, 8)
+        fc = FeatCloud.zeros(8)
+        for i in range(6):
+            pose = Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([float(i), 0, 0]))
+            db = KF.insert(db, pose, jnp.eye(6), fc, fc)
+        assert bool(db.valid.all())
+        assert int(db.head) == 6
+        # ring: slots hold poses 4,5,2,3
+        assert set(np.asarray(db.poses.t)[:, 0].tolist()) == {2.0, 3.0, 4.0, 5.0}
+
+    def test_should_insert_gates(self):
+        p0 = Pose.identity()
+        near = Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([0.5, 0, 0]))
+        far = Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([1.5, 0, 0]))
+        assert not bool(KF.should_insert(near, p0, 1.0, 1.0))
+        assert bool(KF.should_insert(far, p0, 1.0, 1.0))
+        rotated = Pose(
+            jnp.array([0.9999, 0.0, 0.0, 0.0175]), jnp.zeros(3)
+        )  # ~2 deg yaw
+        assert bool(KF.should_insert(rotated, p0, 1.0, 1.0))
+
+    def test_surrounding_radius(self):
+        db = KF.empty_db(8, 4, 4)
+        fc = FeatCloud.zeros(4)
+        for i in range(8):
+            pose = Pose(jnp.array([1.0, 0, 0, 0]),
+                        jnp.array([float(i) * 10, 0, 0]))
+            db = KF.insert(db, pose, jnp.eye(6), fc, fc)
+        idx, ok = KF.surrounding(db, jnp.array([0.0, 0, 0]), radius=25.0, m=8)
+        assert int(ok.sum()) == 3  # keyframes at 0, 10, 20
+
+
+class TestFullPipeline:
+    N = 14
+
+    @pytest.fixture(scope="class")
+    def run(self):
+        cfg = platforms.synthetic(n_lidars=1)
+        imgs, gt = render(cfg, self.N)
+        pipe = FullPipeline(cfg)
+        est = []
+        for i in range(self.N):
+            img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+            out = pipe.process([img])
+            est.append(np.asarray(out.map_pose.t))
+        return np.stack(est), gt, pipe
+
+    def test_map_ate_within_bounds(self, run):
+        est, gt, _ = run
+        ate = evaluation.ate_rmse(est, np.asarray(gt.t[: self.N]))
+        assert ate < 0.05, f"map ATE {ate*100:.1f} cm"
+
+    def test_keyframes_inserted(self, run):
+        _, _, pipe = run
+        assert int(pipe.mapper_state.db.valid.sum()) >= 2
+
+    def test_map_cov_is_positive(self, run):
+        _, _, pipe = run
+        # last inserted keyframe covariance should be PSD and modest
+        cov = np.asarray(pipe.mapper_state.db.cov)
+        valid = np.asarray(pipe.mapper_state.db.valid)
+        eigs = np.linalg.eigvalsh(cov[valid])
+        assert (eigs > -1e-6).all()
