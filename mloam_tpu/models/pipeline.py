@@ -375,3 +375,96 @@ class FullPipeline:
         map_pose = se3.compose(self.mapper_state.pose_map_odom, out.pose)
         return FullOutput(odom=out, map_pose=map_pose, map_cov=None,
                           mapped=False)
+
+
+class SlamOutput(NamedTuple):
+    full: FullOutput
+    loop_found: bool
+    n_loops: int
+
+
+class SlamPipeline:
+    """Complete system: odometry + mapping + loop closure.
+
+    Counterpart of the reference's three-process layout (SURVEY §1):
+    odometry node ∥ mapping node ∥ loop_closure_node, here three groups of
+    jitted programs sharing one host loop. Keyframes inserted by the mapper
+    feed the loop graph every ``loop.skip_interval``-th insertion
+    (loop_closure_node.cpp:273-284); accepted loops trigger pose-graph
+    optimization. As in the reference, the loop-corrected trajectory is a
+    separate output (the mapper's incremental frame is not rewritten;
+    updateKeyframe is a stub there too, lidar_mapper_keyframe.cpp:685).
+    """
+
+    def __init__(self, cfg: MloamConfig, loop_capacity: int = 256):
+        from mloam_tpu.loop import posegraph as PGraph
+
+        self.cfg = cfg
+        self.full = FullPipeline(cfg)
+        self.loop_state = PGraph.init_state(
+            loop_capacity,
+            cfg.rig.n_lidars * cfg.odometry.cap_frame_corner,
+            cfg.rig.n_lidars * cfg.odometry.cap_frame_surf,
+            cfg.loop,
+        )
+        self._PGraph = PGraph
+        self.kf_counter = 0
+        self.n_loops = 0
+        self._add_kf = jax.jit(
+            functools.partial(PGraph.add_keyframe, cfg=cfg.loop)
+        )
+        self._try_loop = jax.jit(
+            functools.partial(PGraph.try_close_loop, lcfg=cfg.loop, cfg=cfg)
+        )
+        self._record = jax.jit(PGraph.record_loop)
+        self._optimize = jax.jit(
+            functools.partial(PGraph.optimize, iters=cfg.loop.pgo_gn_iters)
+        )
+
+    def corrected_trajectory(self):
+        """Loop-corrected keyframe trajectory (valid prefix)."""
+        n = int(self.loop_state.count)
+        return (
+            np.asarray(self.loop_state.poses.t[:n]),
+            np.asarray(self.loop_state.poses.q[:n]),
+        )
+
+    def process(self, imgs: list[RangeImage]) -> SlamOutput:
+        cfg = self.cfg
+        out = self.full.process(imgs)
+        loop_found = False
+        if out.mapped and int(jax.device_get(
+                self.full.mapper_state.db.head)) != self.kf_counter:
+            # a keyframe was inserted by the mapper this sweep
+            self.kf_counter = int(self.full.mapper_state.db.head)
+            if self.kf_counter % max(cfg.loop.skip_interval, 1) == 0:
+                # merged features of the newest keyframe
+                L = cfg.rig.n_lidars
+                corners = [
+                    jax.tree.map(lambda x: x[-1, l], self.full.odom.window.corner)
+                    for l in range(L)
+                ]
+                surfs = [
+                    jax.tree.map(lambda x: x[-1, l], self.full.odom.window.surf)
+                    for l in range(L)
+                ]
+                corner_b, surf_b = self.full._merge(
+                    self.full.odom.window.ext, corners, surfs
+                )
+                self.loop_state = self._add_kf(
+                    self.loop_state, out.map_pose, corner_b, surf_b
+                )
+                q_idx = self.loop_state.count - 1
+                if int(q_idx) > cfg.loop.num_exclude_recent:
+                    found, cand, zq, zt, dist, reg = self._try_loop(
+                        self.loop_state, q_idx
+                    )
+                    if bool(found):
+                        self.loop_state = self._record(
+                            self.loop_state, found, cand, q_idx, zq, zt
+                        )
+                        self.loop_state = self._optimize(self.loop_state)
+                        self.n_loops += 1
+                        loop_found = True
+        return SlamOutput(full=out, loop_found=loop_found,
+                          n_loops=self.n_loops)
