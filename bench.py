@@ -44,6 +44,10 @@ def main():
     imgs = jax.tree.map(lambda x: np.asarray(x), imgs)  # host-side frames
     pipe = OdometryPipeline(cfg)
 
+    # warm the tunnel's device->host path outside the timed loop (the axon
+    # relay pays a large one-time cost on the first d2h transfer)
+    np.asarray(jax.device_put(np.zeros(3, np.float32)))
+
     est_t = []
     times = []
     for i in range(N_FRAMES):
@@ -52,11 +56,13 @@ def main():
         out = pipe.process([img])
         jax.block_until_ready(out.pose)
         times.append(time.perf_counter() - t0)
-        est_t.append(np.asarray(out.pose.t))
+        est_t.append(out.pose.t)  # stays on device; one transfer at the end
 
     steady = np.asarray(times[WARMUP:])
     fps = 1.0 / steady.mean()
-    ate = evaluation.ate_rmse(np.stack(est_t), np.asarray(gt_poses.t[:N_FRAMES]))
+    ate = evaluation.ate_rmse(
+        np.asarray(jnp.stack(est_t)), np.asarray(gt_poses.t[:N_FRAMES])
+    )
 
     platform = jax.devices()[0].platform
     print(

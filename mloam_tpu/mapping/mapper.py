@@ -148,6 +148,15 @@ def scan_to_map(
             1.0 / (1.0 + jnp.nan_to_num(surf_tr, nan=1e3)), 0.05, 1.0
         )
         pc = pc._replace(w=pc.w * w_unc)
+        # good-feature selection (ActiveFeatureSelection methods,
+        # lidar_mapper.h:126-631)
+        if mc.gf_method != "full" and mc.gf_ratio < 1.0:
+            from mloam_tpu.solver import feature_selection as FS
+
+            pc, ec = FS.apply_selection(
+                pc, ec, pose, mc.gf_method, mc.gf_ratio,
+                key=jax.random.PRNGKey(0),
+            )
 
         def residual_fn(T: Pose):
             re = factors.edge_residual(se3.transform_points(T, ec.p), ec)
