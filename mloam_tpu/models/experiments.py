@@ -1,0 +1,183 @@
+"""Batch experiment driver.
+
+Counterpart of the reference's ``estimator/script/run_mloam.py`` programs
+(:207-283): single_test/single_eval (one run + ATE/RPE), mc_test (Monte-
+Carlo over trials :95-163), and inject_ext_uct_test (extrinsic perturbation
+levels gt/ref/cad/ini/inj :167-205) — driving simulated sequences instead of
+rosbag replay, with the in-repo evaluation stack instead of
+rpg_trajectory_evaluation.
+
+Usage:
+    python -m mloam_tpu.models.experiments single --frames 40
+    python -m mloam_tpu.models.experiments mc --trials 3 --frames 30
+    python -m mloam_tpu.models.experiments inject_ext --frames 30
+Results land in results/<program>/ as TUM trajectories + summary JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mloam_tpu.core import se3
+from mloam_tpu.core.rangeimage import RangeImage
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.models import platforms
+from mloam_tpu.models.pipeline import FullPipeline
+from mloam_tpu.sim import world as W
+from mloam_tpu.utils import evaluation, timing
+
+# extrinsic perturbation levels: tangent-norm magnitudes mirroring the
+# reference's gt/ref/cad/ini/inj ladder (run_mloam.py:167-205)
+PERTURBATION_LEVELS = {
+    "gt": 0.0,
+    "ref": 0.01,
+    "cad": 0.05,
+    "ini": 0.10,
+    "inj": 0.20,
+}
+
+
+def run_sequence(cfg, n_frames: int, seed: int = 0, n_lidars: int = 1,
+                 ext_true: Pose | None = None, pipe=None):
+    """Render + run one sequence; returns dict of metrics + trajectories."""
+    w = W.make_world(jax.random.PRNGKey(seed))
+    traj = W.make_trajectory(jax.random.PRNGKey(seed + 1), wobble=0.05)
+    model = cfg.rig.models[0]
+    seqs = [W.render_sequence(w, traj, model, n_frames)]
+    gt_poses = seqs[0][1]
+    for l in range(1, n_lidars):
+        ext = ext_true if ext_true is not None else Pose.identity()
+        seqs.append(W.render_sequence(w, traj, model, n_frames, extrinsic=ext))
+
+    pipe = pipe or FullPipeline(cfg)
+    est_t, est_q, ts = [], [], []
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        frames = [
+            RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+            for imgs, _ in seqs
+        ]
+        with timing.timer("odom_process"):
+            out = pipe.process(frames)
+            jax.block_until_ready(out.map_pose)
+        est_t.append(np.asarray(out.map_pose.t))
+        est_q.append(np.asarray(out.map_pose.q))
+        ts.append(i * model.scan_period)
+    wall = time.perf_counter() - t0
+
+    est_t = np.stack(est_t)
+    est_q = np.stack(est_q)
+    gt_t = np.asarray(gt_poses.t[:n_frames])
+    ate = evaluation.ate_rmse(est_t, gt_t)
+    return {
+        "ate_m": ate,
+        "wall_s": wall,
+        "fps": n_frames / wall,
+        "est_t": est_t,
+        "est_q": est_q,
+        "times": np.asarray(ts),
+        "gt_t": gt_t,
+        "pipe": pipe,
+    }
+
+
+def _outdir(program: str) -> str:
+    d = os.path.join("results", program)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def single_test(args):
+    cfg = platforms.synthetic(n_lidars=args.lidars)
+    res = run_sequence(cfg, args.frames, seed=args.seed, n_lidars=args.lidars)
+    d = _outdir("single")
+    evaluation.save_tum(
+        os.path.join(d, f"traj_est_seed{args.seed}.tum"),
+        res["times"], res["est_t"], res["est_q"],
+    )
+    summary = {"ate_m": res["ate_m"], "fps": res["fps"],
+               "frames": args.frames, "seed": args.seed,
+               "timing": timing.all_stats()}
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in ("ate_m", "fps")}))
+
+
+def mc_test(args):
+    """Monte-Carlo trials over world/trajectory seeds."""
+    cfg = platforms.synthetic(n_lidars=args.lidars)
+    ates, fpss = [], []
+    d = _outdir("mc")
+    for trial in range(args.trials):
+        res = run_sequence(cfg, args.frames, seed=100 + trial,
+                           n_lidars=args.lidars)
+        ates.append(res["ate_m"])
+        fpss.append(res["fps"])
+        evaluation.save_tum(
+            os.path.join(d, f"traj_trial{trial}.tum"),
+            res["times"], res["est_t"], res["est_q"],
+        )
+        print(f"trial {trial}: ATE {res['ate_m']*100:.2f} cm")
+    summary = {
+        "trials": args.trials,
+        "ate_mean_m": float(np.mean(ates)),
+        "ate_std_m": float(np.std(ates)),
+        "ate_max_m": float(np.max(ates)),
+        "fps_mean": float(np.mean(fpss)),
+    }
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+def inject_ext_test(args):
+    """Extrinsic-perturbation robustness ladder (dual-lidar, fixed mode)."""
+    X_true = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+    d = _outdir("inject_ext")
+    summary = {}
+    for level, mag in PERTURBATION_LEVELS.items():
+        key = jax.random.PRNGKey(hash(level) % (2**31))
+        delta = mag * jax.random.normal(key, (6,))
+        X_used = se3.boxplus(X_true, delta)
+        cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
+        pipe = FullPipeline(cfg)
+        from mloam_tpu.odometry import estimator as E
+
+        ext = Pose(jnp.stack([Pose.identity().q, X_used.q]),
+                   jnp.stack([Pose.identity().t, X_used.t]))
+        pipe.odom.window = E.set_extrinsics(pipe.odom.window, ext)
+        res = run_sequence(cfg, args.frames, seed=args.seed, n_lidars=2,
+                           ext_true=X_true, pipe=pipe)
+        summary[level] = {"perturb_norm": float(mag),
+                          "ate_m": res["ate_m"]}
+        print(f"{level}: perturb {mag:.2f} -> ATE {res['ate_m']*100:.2f} cm")
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="program", required=True)
+    for name in ("single", "mc", "inject_ext"):
+        p = sub.add_parser(name)
+        p.add_argument("--frames", type=int, default=30)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--lidars", type=int, default=1)
+        if name == "mc":
+            p.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+    {"single": single_test, "mc": mc_test, "inject_ext": inject_ext_test}[
+        args.program
+    ](args)
+
+
+if __name__ == "__main__":
+    main()

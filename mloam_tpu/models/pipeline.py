@@ -83,19 +83,25 @@ class OdometryPipeline:
             for l in range(L)
         ]
         self._track = jax.jit(self._track_impl)
-        self._push_only = jax.jit(self._push_only_impl)
+        self._push_only = jax.jit(self._push_only_impl,
+                                  static_argnames=("mode2",))
+        self._push_first = jax.jit(self._push_first_impl)
         self._window_ref = jax.jit(
             functools.partial(self._window_step_impl, calibrate_ext=False,
-                              lidars=(0,))
+                              lidars=(0,)),
+            static_argnames=("mode2",),
         )
         self._window_all = jax.jit(
             functools.partial(self._window_step_impl, calibrate_ext=False,
-                              lidars=tuple(range(L)))
+                              lidars=tuple(range(L))),
+            static_argnames=("mode2",),
         )
         self._window_calib = jax.jit(
             functools.partial(self._window_step_impl, calibrate_ext=True,
-                              lidars=tuple(range(L)))
+                              lidars=tuple(range(L))),
+            static_argnames=("mode2",),
         )
+        self._compose = jax.jit(se3.compose)
         self._deskew = jax.jit(lambda fc, T: TR.deskew_features(T, fc))
         self._add_pair = jax.jit(
             functools.partial(
@@ -128,16 +134,57 @@ class OdometryPipeline:
     def _track_impl(self, prev: FeatureFrame, curr: FeatureFrame, T: Pose):
         return TR.track(prev, curr, T, self.cfg.tracker)
 
-    def _push_only_impl(self, window, pose, corner, surf):
-        return E.push_frame(window, pose, corner, surf, self.cfg)
+    def _prep_frame(self, ext: Pose, motion0: Pose, motions, corners, surfs,
+                    mode2: bool):
+        """De-skew per lidar with its sweep motion and stack to [L, ...].
 
-    def _window_step_impl(self, window, pose, corner, surf, calibrate_ext,
-                          lidars):
-        window = E.push_frame(window, pose, corner, surf, self.cfg)
+        Runs inside the jitted step — the axon tunnel charges ~40 ms per
+        *eager* op, so no per-frame array op may run outside jit.
+        """
+        L = self.cfg.rig.n_lidars
+        cs, ss = [], []
+        for l in range(L):
+            if self.cfg.tracker.deskew:
+                if mode2 and l > 0:
+                    m_l = motions[l]
+                else:
+                    El = Pose(ext.q[l], ext.t[l])
+                    m_l = se3.compose(
+                        se3.compose(se3.inverse(El), motion0), El
+                    )
+                cs.append(TR.deskew_features(m_l, corners[l]))
+                ss.append(TR.deskew_features(m_l, surfs[l]))
+            else:
+                cs.append(corners[l])
+                ss.append(surfs[l])
+        corner = jax.tree.map(lambda *x: jnp.stack(x), *cs)
+        surf = jax.tree.map(lambda *x: jnp.stack(x), *ss)
+        return corner, surf
+
+    def _push_only_impl(self, window, world_pose, motion0, motions, corners,
+                        surfs, mode2):
+        pred = se3.compose(world_pose, motion0)
+        corner, surf = self._prep_frame(window.ext, motion0, motions,
+                                        corners, surfs, mode2)
+        window = E.push_frame(window, pred, corner, surf, self.cfg)
+        return window, pred
+
+    def _push_first_impl(self, window, world_pose, corners, surfs):
+        corner = jax.tree.map(lambda *x: jnp.stack(x), *corners)
+        surf = jax.tree.map(lambda *x: jnp.stack(x), *surfs)
+        return E.push_frame(window, world_pose, corner, surf, self.cfg)
+
+    def _window_step_impl(self, window, world_pose, motion0, motions,
+                          corners, surfs, mode2, calibrate_ext, lidars):
+        pred = se3.compose(world_pose, motion0)
+        corner, surf = self._prep_frame(window.ext, motion0, motions,
+                                        corners, surfs, mode2)
+        window = E.push_frame(window, pred, corner, surf, self.cfg)
         window, solve = E.optimize_window(window, self.cfg, calibrate_ext,
                                           lidars)
         window = E.marginalize_pivot(window, solve, self.cfg, calibrate_ext)
-        return window, solve
+        refined = Pose(window.poses.q[-1], window.poses.t[-1])
+        return window, solve, pred, refined
 
     # ---------------- host orchestration ----------------
 
@@ -218,9 +265,9 @@ class OdometryPipeline:
         if self.prev_feats[0] is None:
             self.prev_feats = ffs
             pose = self.world_pose
-            corner = jax.tree.map(lambda *x: jnp.stack(x), *corners)
-            surf = jax.tree.map(lambda *x: jnp.stack(x), *surfs)
-            self.window = self._push_only(self.window, pose, corner, surf)
+            self.window = self._push_first(
+                self.window, pose, tuple(corners), tuple(surfs)
+            )
             self.frame_idx += 1
             return OdometryOutput(
                 pose=pose, pose_predict=pose, extrinsics=self.window.ext,
@@ -232,15 +279,18 @@ class OdometryPipeline:
         res0, desk0 = self._track(self.prev_feats[0], ffs[0], self.motions[0])
         self.motions[0] = res0.pose
         new_prev = [desk0]
-        if self.ext_mode == 2:
-            self.pair_accum[0] = se3.compose(self.pair_accum[0], res0.pose)
+        mode2 = self.ext_mode == 2
+        if mode2:
+            self.pair_accum[0] = self._compose(self.pair_accum[0], res0.pose)
             for l in range(1, L):
                 res_l, desk_l = self._track(
                     self.prev_feats[l], ffs[l], self.motions[l]
                 )
                 self.motions[l] = res_l.pose
                 new_prev.append(desk_l)
-                self.pair_accum[l] = se3.compose(self.pair_accum[l], res_l.pose)
+                self.pair_accum[l] = self._compose(
+                    self.pair_accum[l], res_l.pose
+                )
             if self.frame_idx % cfg.calib.pair_stride == 0:
                 for l in range(1, L):
                     self.calib_buffers[l] = self._add_pair(
@@ -252,30 +302,16 @@ class OdometryPipeline:
         else:
             new_prev += ffs[1:]
         self.prev_feats = new_prev
-        pred = se3.compose(self.world_pose, res0.pose)
 
-        # --- de-skew window features with the tracked sweep motion
-        if cfg.tracker.deskew:
-            ext = self.window.ext
-            for l in range(L):
-                if self.ext_mode == 2 and l > 0:
-                    m_l = self.motions[l]
-                else:
-                    El = Pose(ext.q[l], ext.t[l])
-                    m_l = se3.compose(
-                        se3.compose(se3.inverse(El), res0.pose), El
-                    )
-                corners[l] = self._deskew(corners[l], m_l)
-                surfs[l] = self._deskew(surfs[l], m_l)
-        corner = jax.tree.map(lambda *x: jnp.stack(x), *corners)
-        surf = jax.tree.map(lambda *x: jnp.stack(x), *surfs)
-
+        step_args = (
+            self.window, self.world_pose, res0.pose, tuple(self.motions),
+            tuple(corners), tuple(surfs),
+        )
         warm = self.frame_idx >= cfg.odometry.window_size
         if warm:
-            self.window, solve = self._window_fn()(
-                self.window, pred, corner, surf
+            self.window, solve, pred, refined = self._window_fn()(
+                *step_args, mode2=mode2
             )
-            refined = Pose(self.window.poses.q[-1], self.window.poses.t[-1])
             self.world_pose = refined
             if self.ext_mode == 1:
                 self._collect_calib_sample(solve)
@@ -285,7 +321,7 @@ class OdometryPipeline:
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
             )
         else:
-            self.window = self._push_only(self.window, pred, corner, surf)
+            self.window, pred = self._push_only(*step_args, mode2=mode2)
             self.world_pose = pred
             out = OdometryOutput(
                 pose=pred, pose_predict=pred, extrinsics=self.window.ext,
@@ -325,14 +361,18 @@ class FullPipeline:
         )
         self._merge = jax.jit(self._merge_impl)
 
-    def _merge_impl(self, ext: Pose, corners, surfs):
-        """Project per-lidar feature clouds through extrinsics into the base
-        frame and concatenate (fixed total capacity L * cap)."""
+    def _merge_impl(self, ext: Pose, corner_stack, surf_stack):
+        """Slice the newest window slot per lidar, project through the
+        extrinsics into the base frame, concatenate. Entirely inside jit
+        (eager slicing costs ~40 ms/op on the axon tunnel)."""
         from mloam_tpu.frontend.features import FeatCloud
 
-        def proj(fc_list):
+        L = self.cfg.rig.n_lidars
+
+        def proj(stack):
             parts = []
-            for l, fc in enumerate(fc_list):
+            for l in range(L):
+                fc = jax.tree.map(lambda x: x[-1, l], stack)
                 El = Pose(ext.q[l], ext.t[l])
                 parts.append(fc._replace(
                     xyz=se3.transform_points(El, fc.xyz)
@@ -344,7 +384,7 @@ class FullPipeline:
                 ring=jnp.concatenate([p.ring for p in parts]),
             )
 
-        return proj(corners), proj(surfs)
+        return proj(corner_stack), proj(surf_stack)
 
     def process(self, imgs: list[RangeImage]) -> FullOutput:
         cfg = self.cfg
@@ -355,24 +395,17 @@ class FullPipeline:
             and idx >= cfg.odometry.window_size
         )
         if run_map:
-            # latest per-frame window features (slot -1) merged over lidars
-            L = cfg.rig.n_lidars
-            corners = [
-                jax.tree.map(lambda x: x[-1, l], self.odom.window.corner)
-                for l in range(L)
-            ]
-            surfs = [
-                jax.tree.map(lambda x: x[-1, l], self.odom.window.surf)
-                for l in range(L)
-            ]
-            corner_b, surf_b = self._merge(self.odom.window.ext, corners, surfs)
+            corner_b, surf_b = self._merge(
+                self.odom.window.ext, self.odom.window.corner,
+                self.odom.window.surf,
+            )
             self.mapper_state, mout = self._mapper_step(
                 self.mapper_state, out.pose, corner_b, surf_b
             )
             return FullOutput(
                 odom=out, map_pose=mout.pose, map_cov=mout.cov, mapped=True
             )
-        map_pose = se3.compose(self.mapper_state.pose_map_odom, out.pose)
+        map_pose = self.odom._compose(self.mapper_state.pose_map_odom, out.pose)
         return FullOutput(odom=out, map_pose=map_pose, map_cov=None,
                           mapped=False)
 
@@ -438,30 +471,22 @@ class SlamPipeline:
             # a keyframe was inserted by the mapper this sweep
             self.kf_counter = int(self.full.mapper_state.db.head)
             if self.kf_counter % max(cfg.loop.skip_interval, 1) == 0:
-                # merged features of the newest keyframe
-                L = cfg.rig.n_lidars
-                corners = [
-                    jax.tree.map(lambda x: x[-1, l], self.full.odom.window.corner)
-                    for l in range(L)
-                ]
-                surfs = [
-                    jax.tree.map(lambda x: x[-1, l], self.full.odom.window.surf)
-                    for l in range(L)
-                ]
                 corner_b, surf_b = self.full._merge(
-                    self.full.odom.window.ext, corners, surfs
+                    self.full.odom.window.ext, self.full.odom.window.corner,
+                    self.full.odom.window.surf,
                 )
                 self.loop_state = self._add_kf(
                     self.loop_state, out.map_pose, corner_b, surf_b
                 )
-                q_idx = self.loop_state.count - 1
-                if int(q_idx) > cfg.loop.num_exclude_recent:
+                q_idx_host = int(jax.device_get(self.loop_state.count)) - 1
+                if q_idx_host > cfg.loop.num_exclude_recent:
                     found, cand, zq, zt, dist, reg = self._try_loop(
-                        self.loop_state, q_idx
+                        self.loop_state, jnp.asarray(q_idx_host)
                     )
                     if bool(found):
                         self.loop_state = self._record(
-                            self.loop_state, found, cand, q_idx, zq, zt
+                            self.loop_state, found, cand,
+                            jnp.asarray(q_idx_host), zq, zt
                         )
                         self.loop_state = self._optimize(self.loop_state)
                         self.n_loops += 1
