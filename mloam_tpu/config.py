@@ -28,7 +28,7 @@ class SegmenterConfig:
     min_cluster_size: int = 30
     min_line_num: int = 3           # keep small clusters spanning >= lines
     segment_valid_point_num: int = 5
-    label_iters: int = 24           # label-propagation rounds (BFS replacement)
+    label_iters: int = 12           # label-propagation rounds (BFS replacement)
 
 
 @dataclass(frozen=True)

@@ -165,7 +165,7 @@ def downsample_featcloud(f: FeatCloud, leaf: float, cap: int) -> FeatCloud:
     """Voxel-downsample a feature cloud to a fixed capacity (used when
     pushing sweeps into window/map stacks, reference estimator.cpp:485-496)."""
     payload = jnp.stack([f.time, f.ring.astype(f.time.dtype)], -1)
-    ds_xyz, ds_mask, ds_payload = voxel.voxel_downsample(f.xyz, f.mask, leaf, payload)
+    ds_xyz, ds_mask, ds_payload = voxel.voxel_downsample(f.xyz, f.mask, leaf, payload, packed=True)
     xyz, mask, pl = _stride_to_cap(ds_xyz, ds_mask, ds_payload, cap)
     return FeatCloud(
         xyz=jnp.where(mask[:, None], xyz, 0.0),
@@ -203,7 +203,7 @@ def extract(img: RangeImage, segmented: jnp.ndarray,
     ring = jnp.broadcast_to(jnp.arange(r)[:, None], (r, c)).reshape(-1)
     payload = jnp.stack([time, ring.astype(img.time.dtype)], -1)
     ds_xyz, ds_mask, ds_payload = voxel.voxel_downsample(
-        xyz, mask, cfg.less_flat_leaf, payload
+        xyz, mask, cfg.less_flat_leaf, payload, packed=True
     )
     # reduce to capacity: identity when it fits, else an even stride over the
     # compacted voxels (avoids the spatial bias a plain truncation would have,

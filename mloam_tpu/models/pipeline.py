@@ -23,11 +23,25 @@ All device programs have fixed shapes; each compiles once per mode.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from mloam_tpu.utils import timing
+
+# block after every stage so stage timers are attributable (debug only —
+# costs pipeline overlap). Stage names follow the reference's common::timing
+# names (SURVEY §5.1) so BASELINE comparisons line up.
+_SYNC_TIMING = os.environ.get("MLOAM_SYNC_TIMING", "0") == "1"
+
+
+def _sync(x):
+    if _SYNC_TIMING:
+        jax.block_until_ready(x)
+    return x
 
 from mloam_tpu.config import MloamConfig
 from mloam_tpu.core import se3
@@ -256,11 +270,13 @@ class OdometryPipeline:
         assert len(imgs) == L
 
         ffs, corners, surfs = [], [], []
-        for l, img in enumerate(imgs):
-            ff, c, s = self._frontends[l](img)
-            ffs.append(ff)
-            corners.append(c)
-            surfs.append(s)
+        with timing.timer("odom_mea_pre"):
+            for l, img in enumerate(imgs):
+                ff, c, s = self._frontends[l](img)
+                ffs.append(ff)
+                corners.append(c)
+                surfs.append(s)
+            _sync(surfs)
 
         if self.prev_feats[0] is None:
             self.prev_feats = ffs
@@ -276,7 +292,9 @@ class OdometryPipeline:
             )
 
         # --- scan-to-scan tracking (primary always; all lidars in mode 2)
-        res0, desk0 = self._track(self.prev_feats[0], ffs[0], self.motions[0])
+        with timing.timer("odom_tracker"):
+            res0, desk0 = self._track(self.prev_feats[0], ffs[0], self.motions[0])
+            _sync(res0)
         self.motions[0] = res0.pose
         new_prev = [desk0]
         mode2 = self.ext_mode == 2
@@ -309,9 +327,11 @@ class OdometryPipeline:
         )
         warm = self.frame_idx >= cfg.odometry.window_size
         if warm:
-            self.window, solve, pred, refined = self._window_fn()(
-                *step_args, mode2=mode2
-            )
+            with timing.timer("odom_solver"):
+                self.window, solve, pred, refined = self._window_fn()(
+                    *step_args, mode2=mode2
+                )
+                _sync(solve)
             self.world_pose = refined
             if self.ext_mode == 1:
                 self._collect_calib_sample(solve)

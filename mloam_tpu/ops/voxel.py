@@ -40,14 +40,34 @@ class VoxelReduction(NamedTuple):
     sorted_valid: jnp.ndarray    # [N] validity per sorted point
 
 
-def voxel_reduce(ijk: jnp.ndarray, valid_in: jnp.ndarray) -> VoxelReduction:
-    """Group points by integer voxel coordinate. Exact lexicographic sort on
-    (valid-first, i, j, k); all shapes static; O(N log N)."""
-    inv = (~valid_in).astype(jnp.int32)
-    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0], inv))
-    sk = ijk[order]
-    valid = valid_in[order]
-    differs = jnp.any(sk[1:] != sk[:-1], axis=-1)
+def voxel_reduce(ijk: jnp.ndarray, valid_in: jnp.ndarray,
+                 packed: bool = False) -> VoxelReduction:
+    """Group points by integer voxel coordinate; all shapes static.
+
+    ``packed=False``: exact lexicographic sort (4 stable sort passes) —
+    unbounded coordinate range, used for map-scale reductions.
+    ``packed=True``: coordinates are re-based to their minimum and packed
+    into one int32 key (10 bits/axis, grid up to 1024³ cells) — a single
+    sort pass, ~4x cheaper. Out-of-grid cells clamp to the boundary (only
+    relevant beyond 1024 cells span, i.e. >200 m at 0.2 m leaf) — the right
+    trade for single-sweep downsampling.
+    """
+    if packed:
+        base = jnp.min(jnp.where(valid_in[:, None], ijk, 2**30), axis=0)
+        rel = jnp.clip(ijk - base[None], 0, 1023)
+        key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
+        key = jnp.where(valid_in, key, jnp.int32(2**30))
+        order = jnp.argsort(key)
+        sk3 = None
+        sorted_key = key[order]
+        valid = valid_in[order]
+        differs = sorted_key[1:] != sorted_key[:-1]
+    else:
+        inv = (~valid_in).astype(jnp.int32)
+        order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0], inv))
+        sk = ijk[order]
+        valid = valid_in[order]
+        differs = jnp.any(sk[1:] != sk[:-1], axis=-1)
     head = jnp.concatenate([valid[:1], differs & valid[1:]])
     seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1  # [-1 .. num-1]
     seg_id = jnp.maximum(seg_id, 0)
@@ -84,9 +104,10 @@ def segment_sum(values: jnp.ndarray, red: VoxelReduction) -> jnp.ndarray:
 
 
 def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
-                     payload: jnp.ndarray | None = None):
+                     payload: jnp.ndarray | None = None,
+                     packed: bool = False):
     """Centroid voxel filter. Returns (xyz_ds [N,3], mask_ds [N], payload_ds)."""
-    red = voxel_reduce(voxel_coords(xyz, leaf), mask)
+    red = voxel_reduce(voxel_coords(xyz, leaf), mask, packed=packed)
     out_xyz = segment_mean(xyz, red)
     out_payload = None if payload is None else segment_mean(payload, red)
     return out_xyz, red.mask, out_payload

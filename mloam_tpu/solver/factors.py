@@ -35,6 +35,7 @@ from mloam_tpu.core import se3
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend.features import FeatCloud
 from mloam_tpu.ops import knn as knn_ops
+from mloam_tpu.ops import sym3x3
 from mloam_tpu.solver import robust
 
 _BIG = 1e30
@@ -210,9 +211,10 @@ def match_map_edge(
     centroid = jnp.mean(nn, axis=1)
     rel = nn - centroid[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", rel, rel) / k
-    vals, vecs = jnp.linalg.eigh(cov)              # ascending
+    # closed-form 3x3 eigendecomposition (ops/sym3x3): jnp.linalg.eigh on
+    # thousands of tiny matrices is a TPU hotspot
+    vals, axis = sym3x3.largest_eigvec3(cov)       # ascending vals
     lin = vals[:, 2] > 3.0 * vals[:, 1]
-    axis = vecs[:, :, 2]
     pa = centroid + line_axis_len * axis
     pb = centroid - line_axis_len * axis
     valid = q.mask & ok_all & lin
@@ -244,8 +246,7 @@ def match_map_plane(
     centroid = jnp.mean(nn, axis=1)
     rel = nn - centroid[:, None, :]
     scatter = jnp.einsum("nki,nkj->nij", rel, rel)
-    _, vecs = jnp.linalg.eigh(scatter)
-    n_unit = vecs[:, :, 0]  # smallest-eigenvalue direction = plane normal
+    _, n_unit = sym3x3.smallest_eigvec3(scatter)  # plane normal
     dcoef = -jnp.sum(n_unit * centroid, axis=-1)
     fit = jnp.abs(jnp.einsum("nki,ni->nk", nn, n_unit) + dcoef[:, None])
     planar = jnp.all(fit < min_plane_dis, axis=1)

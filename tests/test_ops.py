@@ -128,3 +128,41 @@ class TestRangeImage:
         pts = jnp.array([[1.0, 0.0, 5.0]])  # way above +15 deg
         img = ri.project(pts, jnp.ones(1, bool), model)
         assert not bool(img.valid.any())
+
+
+class TestSym3x3:
+    def test_eigvals_match_lapack(self):
+        import jax
+        from mloam_tpu.ops import sym3x3
+        key = jax.random.PRNGKey(0)
+        B = jax.random.normal(key, (200, 3, 3))
+        A = B @ jnp.swapaxes(B, -1, -2)
+        want = np.linalg.eigvalsh(np.asarray(A))
+        got = np.asarray(sym3x3.eigvalsh3(A))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_eigvecs_are_eigvecs(self):
+        import jax
+        from mloam_tpu.ops import sym3x3
+        key = jax.random.PRNGKey(1)
+        B = jax.random.normal(key, (100, 3, 3))
+        A = B @ jnp.swapaxes(B, -1, -2)
+        vals, v_small = sym3x3.smallest_eigvec3(A)
+        _, v_large = sym3x3.largest_eigvec3(A)
+        # A v = lambda v
+        res_s = np.asarray(
+            jnp.einsum("nij,nj->ni", A, v_small) - vals[:, :1] * v_small
+        )
+        res_l = np.asarray(
+            jnp.einsum("nij,nj->ni", A, v_large) - vals[:, 2:] * v_large
+        )
+        scale = np.asarray(vals[:, 2:])
+        assert (np.linalg.norm(res_s, axis=1) / (scale[:, 0] + 1)).max() < 1e-3
+        assert (np.linalg.norm(res_l, axis=1) / (scale[:, 0] + 1)).max() < 1e-3
+
+    def test_degenerate_isotropic(self):
+        from mloam_tpu.ops import sym3x3
+        A = jnp.broadcast_to(jnp.eye(3), (4, 3, 3))
+        vals, v = sym3x3.smallest_eigvec3(A)
+        np.testing.assert_allclose(vals, 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=1), 1.0)
