@@ -217,3 +217,18 @@ class TestDeskew:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestGps:
+    def test_enu_roundtrip_small_offsets(self):
+        from mloam_tpu.utils import gps
+
+        ref = (22.3364, 114.2654, 10.0)  # HK
+        # ~111 m north, ~103 m east at this latitude
+        enu = gps.lla_to_enu(
+            [22.3364 + 0.001, 22.3364], [114.2654, 114.2654 + 0.001],
+            [10.0, 10.0], ref,
+        )
+        assert abs(enu[0, 1] - 110.6) < 1.0   # north
+        assert abs(enu[1, 0] - 102.6) < 1.0   # east
+        assert abs(enu[0, 0]) < 1.0 and abs(enu[1, 1]) < 1.0
