@@ -60,8 +60,8 @@ def main():
 
     # pass 2 — throughput: pipelined submission (frames chain on device;
     # the host never blocks mid-sequence — the deployment pattern for a
-    # 10 Hz sensor stream)
-    pipe = OdometryPipeline(cfg)
+    # 10 Hz sensor stream). Same pipeline instance: compiled programs reused.
+    pipe.reset()
     est_t = []
     t0 = time.perf_counter()
     for i in range(N_FRAMES):

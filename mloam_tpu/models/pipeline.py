@@ -129,6 +129,26 @@ class OdometryPipeline:
                               sv_threshold=cfg.calib.rot_converge_sv)
         )
 
+    def reset(self):
+        """Reset all mutable state, keeping compiled programs (the
+        reference's /mlod_restart semantics: clearState + setParameter,
+        rosNodeSR.cpp:154-162)."""
+        cfg = self.cfg
+        L = cfg.rig.n_lidars
+        self.frame_idx = 0
+        self.ext_mode = cfg.rig.extrinsic_mode if L > 1 else 0
+        self.window = E.init_window(
+            cfg, cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
+        )
+        self.prev_feats = [None] * L
+        self.motions = [Pose.identity() for _ in range(L)]
+        self.world_pose = Pose.identity()
+        self.calib_buffers = [I.MotionBuffer.empty(cfg.calib.n_pose_buffer)
+                              for _ in range(L)]
+        self.pair_accum = [Pose.identity() for _ in range(L)]
+        self.ext_samples = [[] for _ in range(L)]
+        self.ext_cov = None
+
     # ---------------- device programs ----------------
 
     def _frontend_impl(self, img: RangeImage, model_idx: int = 0):

@@ -97,9 +97,13 @@ def _linearize_edges(poses: Pose, edges: PoseGraphEdges, anchor_idx: int,
 
 def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
              anchor_w: float = 1e3, lm_lambda: float = 1e-3,
-             axis_name: str | None = None):
+             axis_name: str | None = None, dof4: bool = False):
     """One damped GN step over all poses. If ``axis_name`` is set, (H, g,
     cost) are psum-reduced across that mesh axis (edges sharded per device).
+
+    ``dof4``: 4-DoF mode — roll/pitch tangent components of the update are
+    zeroed, keeping gravity-aligned orientations from odometry (the
+    reference's 4-DoF factor variants, pose_graph.h:199-289).
     """
     n = poses.q.shape[0]
     dim = n * 6
@@ -116,6 +120,9 @@ def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
     Hd = H + jnp.diag(damp)
     L = jnp.linalg.cholesky(Hd + 1e-8 * jnp.eye(dim))
     dx = -jax.scipy.linalg.cho_solve((L, True), g)
+    if dof4:
+        mask = jnp.tile(jnp.array([1.0, 1, 1, 0, 0, 1]), n)
+        dx = dx * mask
 
     def upd(q, t, i):
         return se3.boxplus(Pose(q, t), jax.lax.dynamic_slice(dx, (i * 6,), (6,)))
@@ -132,13 +139,14 @@ def optimize_pose_graph(
     iters: int = 10,
     anchor_idx: int = 0,
     mesh: Mesh | None = None,
+    dof4: bool = False,
 ):
     """Full PGO: ``iters`` damped GN steps. With a mesh, edges are sharded
     over FACTOR_AXIS and the reduction rides ICI psum (shard_map)."""
 
     if mesh is None:
         def body(_, p):
-            p2, _ = pgo_step(p, edges)
+            p2, _ = pgo_step(p, edges, anchor_idx=anchor_idx, dof4=dof4)
             return p2
 
         return jax.lax.fori_loop(0, iters, body, poses)
@@ -146,8 +154,16 @@ def optimize_pose_graph(
     n_dev = mesh.devices.size
     e = edges.i.shape[0]
     pad = (-e) % n_dev
-    edges_p = jax.tree.map(
-        lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)), edges
+    # pad with *identity-measurement* zero-weight edges — zero-padding the
+    # quaternion would feed log() a zero rotation and NaN-poison the psum
+    edges_p = PoseGraphEdges(
+        i=jnp.pad(edges.i, (0, pad)),
+        j=jnp.pad(edges.j, (0, pad)),
+        z_q=jnp.concatenate(
+            [edges.z_q, jnp.tile(jnp.array([1.0, 0, 0, 0]), (pad, 1))]
+        ),
+        z_t=jnp.pad(edges.z_t, ((0, pad), (0, 0))),
+        weight=jnp.pad(edges.weight, ((0, pad), (0, 0))),
     )
 
     @functools.partial(
@@ -161,7 +177,7 @@ def optimize_pose_graph(
     def run(p, e_shard):
         def body(_, pp):
             p2, _ = pgo_step(pp, e_shard, anchor_idx=anchor_idx,
-                             axis_name=FACTOR_AXIS)
+                             axis_name=FACTOR_AXIS, dof4=dof4)
             return p2
 
         return jax.lax.fori_loop(0, iters, body, p)

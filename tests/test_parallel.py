@@ -1,0 +1,79 @@
+"""Distributed PGO: mesh-sharded vs single-device equivalence, 4-DoF mode,
+and the dryrun contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mloam_tpu.core import rotations as rot
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.parallel import mesh as M
+from mloam_tpu.parallel import sharded_pgo as PG
+
+
+def ring_graph(n=24, noise=0.02, seed=0):
+    key = jax.random.PRNGKey(seed)
+    step = se3.exp(jnp.array([0.5, 0, 0, 0, 0, 2 * np.pi / n]))
+    gt = [Pose.identity()]
+    for _ in range(n - 1):
+        gt.append(se3.compose(gt[-1], step))
+    est = [gt[0]]
+    for i in range(1, n):
+        d = se3.exp(noise * jax.random.normal(jax.random.fold_in(key, i), (6,)))
+        est.append(se3.compose(est[-1], se3.compose(step, d)))
+    ei = list(range(n - 1)) + [n - 1]
+    ej = list(range(1, n)) + [0]
+    rels = [se3.relative(gt[a], gt[b]) for a, b in zip(ei, ej)]
+    w = [jnp.ones(6)] * (n - 1) + [10 * jnp.ones(6)]
+    edges = PG.PoseGraphEdges(
+        i=jnp.array(ei, jnp.int32), j=jnp.array(ej, jnp.int32),
+        z_q=jnp.stack([r.q for r in rels]),
+        z_t=jnp.stack([r.t for r in rels]),
+        weight=jnp.stack(w),
+    )
+    poses = Pose(jnp.stack([p.q for p in est]), jnp.stack([p.t for p in est]))
+    gt_p = Pose(jnp.stack([p.q for p in gt]), jnp.stack([p.t for p in gt]))
+    return poses, edges, gt_p
+
+
+class TestShardedPGO:
+    def test_converges(self):
+        poses, edges, gt = ring_graph()
+        out = PG.optimize_pose_graph(poses, edges, iters=15)
+        err = jnp.linalg.norm(out.t - gt.t, axis=1)
+        assert float(err.mean()) < 0.01
+
+    @pytest.mark.parametrize("n_dev", [2, 4, 8])
+    def test_mesh_matches_single_device(self, n_dev):
+        poses, edges, gt = ring_graph()
+        single = PG.optimize_pose_graph(poses, edges, iters=10)
+        mesh = M.make_mesh(n_dev)
+        sharded = PG.optimize_pose_graph(poses, edges, iters=10, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(single.t), np.asarray(sharded.t), atol=1e-3
+        )
+
+    def test_edge_padding_is_neutral(self):
+        # 2 devices with an odd edge count exercises zero-weight padding
+        poses, edges, gt = ring_graph(n=11)
+        mesh = M.make_mesh(2)
+        out = PG.optimize_pose_graph(poses, edges, iters=10, mesh=mesh)
+        err = jnp.linalg.norm(out.t - gt.t, axis=1)
+        assert float(err.mean()) < 0.02
+
+    def test_dof4_keeps_roll_pitch(self):
+        poses, edges, gt = ring_graph(noise=0.03, seed=3)
+        out = PG.optimize_pose_graph(poses, edges, iters=10, dof4=True)
+        # roll/pitch of every pose must be unchanged from the input
+        for k in (0, 5, 11):
+            rp_in = rot.so3_log(
+                rot.quat_multiply(rot.quat_conjugate(poses.q[k]), out.q[k])
+            )[:2]
+            np.testing.assert_allclose(np.asarray(rp_in), 0.0, atol=1e-5)
+
+    def test_dryrun_contract(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
