@@ -24,7 +24,7 @@ _BIG = 1e30
 
 def pairwise_sqdist(q: jnp.ndarray, r: jnp.ndarray,
                     center: jnp.ndarray | None = None) -> jnp.ndarray:
-    """[Nq,3]x[Nr,3] -> [Nq,Nr] squared distances (MXU-friendly form).
+    """[Nq,D]x[Nr,D] -> [Nq,Nr] squared distances (MXU-friendly form).
 
     TPU numerics: the ||q||²+||r||²-2q·r expansion catastrophically cancels
     when ||q-r|| << ||q||, and the MXU's default bf16 matmul makes this fatal
@@ -58,6 +58,7 @@ def knn(
     """
     nq = q.shape[0]
     nr = r.shape[0]
+    dim = r.shape[1]
     if nr < k:  # tiny reference sets: pad so top_k is well-defined
         pad = k - nr
         r = jnp.pad(r, ((0, pad), (0, 0)))
@@ -73,7 +74,7 @@ def knn(
     pad = nchunks * chunk - nr
     r_p = jnp.pad(r, ((0, pad), (0, 0)))
     m_p = jnp.pad(r_mask, (0, pad))
-    r_c = r_p.reshape(nchunks, chunk, 3)
+    r_c = r_p.reshape(nchunks, chunk, dim)
     m_c = m_p.reshape(nchunks, chunk)
 
     def body(carry, inputs):
