@@ -117,6 +117,10 @@ class OdometryPipeline:
         )
         self._compose = jax.jit(se3.compose)
         self._deskew = jax.jit(lambda fc, T: TR.deskew_features(T, fc))
+        self._fused = (
+            jax.jit(self._fused_step_impl, donate_argnums=(0,))
+            if L == 1 else None
+        )
         self._add_pair = jax.jit(
             functools.partial(
                 I.add_pair,
@@ -220,6 +224,20 @@ class OdometryPipeline:
         refined = Pose(window.poses.q[-1], window.poses.t[-1])
         return window, solve, pred, refined
 
+    def _fused_step_impl(self, window, world_pose, motion0, prev_feat0, img):
+        """Whole-sweep program for the steady single-lidar pure-odometry
+        path: frontend + tracker + de-skew + window solve + marginalization
+        in ONE dispatch. On the axon tunnel each submission costs ~3-5 ms,
+        so collapsing the 6-call chain is the difference between ~34 and
+        ~100+ frames/s."""
+        ff, corner, surf = self._frontend_impl(img, 0)
+        res, desk = TR.track(prev_feat0, ff, motion0, self.cfg.tracker)
+        window, solve, pred, refined = self._window_step_impl(
+            window, world_pose, res.pose, (res.pose,), (corner,), (surf,),
+            mode2=False, calibrate_ext=False, lidars=(0,),
+        )
+        return window, refined, res.pose, desk, pred, solve
+
     # ---------------- host orchestration ----------------
 
     def _window_fn(self):
@@ -288,6 +306,27 @@ class OdometryPipeline:
         cfg = self.cfg
         L = cfg.rig.n_lidars
         assert len(imgs) == L
+
+        # fast path: steady single-lidar odometry — one dispatch per sweep
+        if (
+            self._fused is not None
+            and self.prev_feats[0] is not None
+            and self.frame_idx >= cfg.odometry.window_size
+        ):
+            (self.window, refined, motion, desk, pred,
+             solve) = self._fused(
+                self.window, self.world_pose, self.motions[0],
+                self.prev_feats[0], imgs[0],
+            )
+            self.motions[0] = motion
+            self.prev_feats[0] = desk
+            self.world_pose = refined
+            self.frame_idx += 1
+            return OdometryOutput(
+                pose=refined, pose_predict=pred, extrinsics=self.window.ext,
+                ext_mode=self.ext_mode, cost=solve.cost,
+                n_corner=solve.n_corner, n_surf=solve.n_surf,
+            )
 
         ffs, corners, surfs = [], [], []
         with timing.timer("odom_mea_pre"):
