@@ -163,20 +163,77 @@ def inject_ext_test(args):
         json.dump(summary, f, indent=2)
 
 
+def scaling_test(args):
+    """Distributed-BA scaling harness: factor-sharded PGO throughput at
+    1..N devices (BASELINE target: >=80% scaling efficiency).
+
+    On a multi-chip mesh the reduction rides ICI; on the CPU test mesh the
+    virtual devices share host cores, so efficiency numbers there validate
+    the *mechanism*, not the hardware scaling.
+    """
+    from mloam_tpu.parallel import mesh as M
+    from mloam_tpu.parallel import sharded_pgo as PG
+
+    n_poses = args.poses
+    key = jax.random.PRNGKey(0)
+    step = se3.exp(jnp.array([0.5, 0, 0, 0, 0, 2 * np.pi / n_poses]))
+    gt = [Pose.identity()]
+    for _ in range(n_poses - 1):
+        gt.append(se3.compose(gt[-1], step))
+    # dense-ish graph: sequential + skip-5 + skip-25 edges
+    ei, ej = [], []
+    for sk in (1, 5, 25):
+        ei += list(range(0, n_poses - sk))
+        ej += list(range(sk, n_poses))
+    rels = [se3.relative(gt[a], gt[b]) for a, b in zip(ei, ej)]
+    edges = PG.PoseGraphEdges(
+        i=jnp.array(ei, jnp.int32), j=jnp.array(ej, jnp.int32),
+        z_q=jnp.stack([r.q for r in rels]),
+        z_t=jnp.stack([r.t for r in rels]),
+        weight=jnp.ones((len(ei), 6)),
+    )
+    poses0 = Pose(jnp.stack([p.q for p in gt]), jnp.stack([p.t for p in gt]))
+    noise = 0.02 * jax.random.normal(key, (n_poses, 6))
+    poses0 = jax.vmap(se3.boxplus)(poses0, noise)
+    iters = 10
+    n_avail = len(jax.devices())
+    results = {}
+    for n_dev in [d for d in (1, 2, 4, 8) if d <= n_avail]:
+        mesh = M.make_mesh(n_dev) if n_dev > 1 else None
+        f = lambda p: PG.optimize_pose_graph(p, edges, iters=iters, mesh=mesh)
+        jax.block_until_ready(f(poses0))  # compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = f(poses0)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        eps = len(ei) * iters / dt
+        results[n_dev] = {"edge_iters_per_s": eps, "wall_s": dt}
+        base = results[min(results)]["edge_iters_per_s"]
+        eff = eps / (base * n_dev / min(results))
+        print(f"devices={n_dev}: {eps:,.0f} edge-iters/s  wall={dt*1e3:.1f}ms"
+              f"  efficiency={eff:.2f}")
+    d = _outdir("scaling")
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump({str(k): v for k, v in results.items()}, f, indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="program", required=True)
-    for name in ("single", "mc", "inject_ext"):
+    for name in ("single", "mc", "inject_ext", "scaling"):
         p = sub.add_parser(name)
         p.add_argument("--frames", type=int, default=30)
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--lidars", type=int, default=1)
         if name == "mc":
             p.add_argument("--trials", type=int, default=3)
+        if name == "scaling":
+            p.add_argument("--poses", type=int, default=256)
     args = ap.parse_args()
-    {"single": single_test, "mc": mc_test, "inject_ext": inject_ext_test}[
-        args.program
-    ](args)
+    {"single": single_test, "mc": mc_test, "inject_ext": inject_ext_test,
+     "scaling": scaling_test}[args.program](args)
 
 
 if __name__ == "__main__":
