@@ -103,6 +103,12 @@ def single_test(args):
         os.path.join(d, f"traj_est_seed{args.seed}.tum"),
         res["times"], res["est_t"], res["est_q"],
     )
+    from mloam_tpu.utils import viz
+
+    viz.plot_trajectory(
+        os.path.join(d, f"traj_seed{args.seed}.png"), res["est_t"],
+        res["gt_t"], title=f"single seed={args.seed}",
+    )
     summary = {"ate_m": res["ate_m"], "fps": res["fps"],
                "frames": args.frames, "seed": args.seed,
                "timing": timing.all_stats()}

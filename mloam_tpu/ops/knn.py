@@ -67,7 +67,12 @@ def knn(
     if nr <= chunk:
         d = pairwise_sqdist(q, r)
         d = jnp.where(r_mask[None, :], d, _BIG)
-        neg, idx = jax.lax.top_k(-d, k)
+        if nr >= 1024:
+            # TPU-optimized partial reduction (exact top_k lowers to a
+            # bitonic sort over the whole row — a hot spot at map sizes)
+            neg, idx = jax.lax.approx_max_k(-d, k, recall_target=0.95)
+        else:
+            neg, idx = jax.lax.top_k(-d, k)
         return -neg, idx
 
     nchunks = (nr + chunk - 1) // chunk
@@ -82,7 +87,7 @@ def knn(
         rc, mc, base = inputs
         d = pairwise_sqdist(q, rc)
         d = jnp.where(mc[None, :], d, _BIG)
-        neg, idx = jax.lax.top_k(-d, k)
+        neg, idx = jax.lax.approx_max_k(-d, k, recall_target=0.95)
         cand_d = jnp.concatenate([best_d, -neg], axis=1)
         cand_i = jnp.concatenate([best_i, idx + base], axis=1)
         neg2, sel = jax.lax.top_k(-cand_d, k)

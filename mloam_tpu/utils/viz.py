@@ -1,0 +1,88 @@
+"""Offline visualization: trajectories and maps to PNG.
+
+Headless counterpart of the reference's rviz outputs (paths, maps,
+CameraPoseVisualization markers) and the PCL cloud_visualizer — matplotlib
+figures written to disk instead of live topics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def plot_trajectory(path_png: str, est_t: np.ndarray,
+                    gt_t: np.ndarray | None = None,
+                    loops: list[tuple[int, int]] | None = None,
+                    title: str = "trajectory"):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(
+        1, 2, figsize=(11, 5), gridspec_kw={"width_ratios": [2, 1]}
+    )
+    est_t = np.asarray(est_t)
+    ax1.plot(est_t[:, 0], est_t[:, 1], "-", lw=1.5, label="estimate")
+    if gt_t is not None:
+        gt_t = np.asarray(gt_t)
+        ax1.plot(gt_t[:, 0], gt_t[:, 1], "--", lw=1.0, label="ground truth")
+    if loops:
+        for i, j in loops:
+            ax1.plot(est_t[[i, j], 0], est_t[[i, j], 1], "r-", lw=0.8)
+    ax1.set_aspect("equal")
+    ax1.set_xlabel("x [m]")
+    ax1.set_ylabel("y [m]")
+    ax1.legend()
+    ax1.set_title(title)
+    ax2.plot(est_t[:, 2], label="est z")
+    if gt_t is not None:
+        ax2.plot(gt_t[:, 2], "--", label="gt z")
+    ax2.set_xlabel("frame")
+    ax2.set_ylabel("z [m]")
+    ax2.legend()
+    fig.tight_layout()
+    fig.savefig(path_png, dpi=120)
+    plt.close(fig)
+
+
+def plot_map(path_png: str, xyz: np.ndarray, mask: np.ndarray | None = None,
+             traj_t: np.ndarray | None = None, title: str = "map",
+             max_points: int = 60000):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xyz = np.asarray(xyz)
+    if mask is not None:
+        xyz = xyz[np.asarray(mask)]
+    if xyz.shape[0] > max_points:
+        sel = np.random.default_rng(0).choice(
+            xyz.shape[0], max_points, replace=False
+        )
+        xyz = xyz[sel]
+    fig, ax = plt.subplots(figsize=(9, 9))
+    sc = ax.scatter(xyz[:, 0], xyz[:, 1], c=xyz[:, 2], s=0.5, cmap="viridis")
+    if traj_t is not None:
+        traj_t = np.asarray(traj_t)
+        ax.plot(traj_t[:, 0], traj_t[:, 1], "r-", lw=1.5)
+    ax.set_aspect("equal")
+    fig.colorbar(sc, label="z [m]")
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path_png, dpi=120)
+    plt.close(fig)
+
+
+def export_map_pcd(path: str, xyz: np.ndarray, mask: np.ndarray | None = None):
+    """Write an ascii PCD (the reference's SIGINT map dump counterpart)."""
+    xyz = np.asarray(xyz)
+    if mask is not None:
+        xyz = xyz[np.asarray(mask)]
+    with open(path, "w") as f:
+        f.write(
+            "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+            f"COUNT 1 1 1\nWIDTH {len(xyz)}\nHEIGHT 1\n"
+            f"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS {len(xyz)}\nDATA ascii\n"
+        )
+        for p in xyz:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
