@@ -155,12 +155,16 @@ def render_scan(
     pose_start: Pose,
     pose_end: Pose,
     model: LidarModel,
+    noise_std: float = 0.0,
+    noise_key: jax.Array | None = None,
 ) -> RangeImage:
     """Render one distorted sweep.
 
     Column j fires at s = j/C into the sweep, from pose interp(start, end, s);
     the returned xyz is in the *sensor frame at firing time* (what the device
-    measures), gridded [R, C].
+    measures), gridded [R, C]. ``noise_std`` adds gaussian range noise
+    (fault-injection counterpart of the reference's -inject_meas_noise flag
+    and noisy-bag generator).
     """
     r, c = model.n_rings, model.n_cols
     dirs_s = sensor_rays(model)  # [R, C, 3]
@@ -174,6 +178,8 @@ def render_scan(
     o_world = jnp.broadcast_to(pose_cols.t[None, :, :], (r, c, 3))
     t_hit = raycast(world, o_world.reshape(-1, 3), d_world.reshape(-1, 3))
     t_hit = t_hit.reshape(r, c)
+    if noise_std > 0.0 and noise_key is not None:
+        t_hit = t_hit + noise_std * jax.random.normal(noise_key, t_hit.shape)
     valid = (t_hit < model.max_range) & (t_hit > model.min_range)
     xyz = jnp.where(valid[..., None], t_hit[..., None] * dirs_s, 0.0)
     return from_grid(xyz, valid)
@@ -224,6 +230,8 @@ def render_sequence(
     n_frames: int,
     extrinsic: Pose | None = None,
     t0: float = 0.0,
+    noise_std: float = 0.0,
+    noise_seed: int = 1234,
 ):
     """Render n_frames sweeps for one lidar mounted at ``extrinsic``
     (base <- lidar). Returns (RangeImage stacked [F, ...], gt base poses
@@ -231,6 +239,7 @@ def render_sequence(
     if extrinsic is None:
         extrinsic = Pose.identity()
     dt = model.scan_period
+    nkey = jax.random.PRNGKey(noise_seed)
 
     def one(i):
         ts = t0 + i * dt
@@ -238,7 +247,10 @@ def render_sequence(
         base1 = traj.pose(ts + dt)
         p0 = se3.compose(base0, extrinsic)
         p1 = se3.compose(base1, extrinsic)
-        img = render_scan(world, p0, p1, model)
+        img = render_scan(
+            world, p0, p1, model, noise_std,
+            jax.random.fold_in(nkey, i.astype(jnp.int32)) if noise_std > 0 else None,
+        )
         return img, base0
 
     idx = jnp.arange(n_frames, dtype=jnp.float32)
