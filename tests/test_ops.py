@@ -166,3 +166,26 @@ class TestSym3x3:
         vals, v = sym3x3.smallest_eigvec3(A)
         np.testing.assert_allclose(vals, 1.0, atol=1e-5)
         np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=1), 1.0)
+
+
+class TestPallasKNN:
+    def test_interpret_matches_xla(self):
+        import functools
+        import jax
+        from jax.experimental import pallas as pl
+        import mloam_tpu.ops.pallas_knn as PK
+
+        orig = pl.pallas_call
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            q = jax.random.normal(jax.random.PRNGKey(0), (700, 3)) * 5
+            r = jax.random.normal(jax.random.PRNGKey(1), (3000, 3)) * 5
+            mask = jnp.arange(3000) < 2500
+            d, i = PK.nearest_pallas(q, r, mask)
+            d2, i2 = knn_ops.knn(q, r, mask, 1)
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(d2[:, 0]), atol=1e-3
+            )
+            assert float((i == i2[:, 0]).mean()) == 1.0
+        finally:
+            pl.pallas_call = orig
