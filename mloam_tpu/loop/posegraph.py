@@ -116,8 +116,14 @@ def _local_map(state: LoopGraphState, center_idx, half: int, n_kf: int,
 
 
 def try_close_loop(state: LoopGraphState, query_idx: jnp.ndarray,
-                   lcfg: LoopConfig, cfg: MloamConfig):
+                   lcfg: LoopConfig, cfg: MloamConfig,
+                   use_global_reg: bool = False):
     """Detection + geometric verification for one keyframe (device program).
+
+    ``use_global_reg``: additionally seed the fine registration from the
+    priorless correlation registration (loop/global_registration) and take
+    whichever seed verifies — covers loops whose odometry drift exceeds the
+    pose-seeded convergence basin (the reference's FGR role).
 
     Returns (found, cand_idx, z_q, z_t) where Z = T_cand^-1 T_query.
     """
@@ -155,6 +161,22 @@ def try_close_loop(state: LoopGraphState, query_idx: jnp.ndarray,
     reg = REG.fine_register(
         q_corner, q_surf, tc_xyz, tc_mask, ts_xyz, ts_mask, T_init, cfg
     )
+    if use_global_reg:
+        from mloam_tpu.loop import global_registration as GREG
+
+        qm_xyz, qm_mask = _local_map(
+            state, query_idx, half, k, 0, state.surf, q_pose
+        )
+        gres = GREG.register_correlation(qm_xyz, qm_mask, ts_xyz, ts_mask)
+        reg2 = REG.fine_register(
+            q_corner, q_surf, tc_xyz, tc_mask, ts_xyz, ts_mask, gres.pose, cfg
+        )
+        take2 = (reg2.ok & ~reg.ok) | (
+            reg2.ok & reg.ok & (reg2.cost < reg.cost)
+        )
+        reg = jax.tree.map(
+            lambda a, b: jnp.where(take2, a, b), reg2, reg
+        )
     found = candidate_ok & reg.ok
     return found, cand.index, reg.pose.q, reg.pose.t, cand.dist, reg
 

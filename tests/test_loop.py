@@ -149,3 +149,47 @@ class TestScanContext:
         # exclude everything -> nothing found even though identical
         c = SC.detect(db, d, cfg, exclude_after=jnp.asarray(0))
         assert not bool(c.found)
+
+
+class TestGlobalRegFallback:
+    def test_large_drift_loop_recovered_via_global_reg(self):
+        """Drift far beyond the pose-seeded registration basin: the
+        correlation-registration fallback must still verify the loop."""
+        w = W.make_world(jax.random.PRNGKey(3), extent=30.0,
+                         n_walls=20, n_poles=10)
+        frontend = jax.jit(
+            lambda img: F.extract(
+                img, S.segment(img, MODEL, CFG.segmenter).segmented,
+                CFG.features)
+        )
+        state = PGraph.init_state(
+            32, CFG.odometry.cap_frame_corner, CFG.odometry.cap_frame_surf,
+            LCFG)
+        for k in range(N_KF + 1):
+            gt = circle_pose(k)
+            img = W.render_scan(w, gt, gt, MODEL)
+            ff = frontend(img)
+            corner = F.downsample_featcloud(
+                ff.less_sharp, CFG.odometry.corner_map_leaf,
+                CFG.odometry.cap_frame_corner)
+            surf = F.downsample_featcloud(
+                ff.less_flat, CFG.odometry.surf_map_leaf,
+                CFG.odometry.cap_frame_surf)
+            # ~3 m of drift at the loop end — pose seed lands outside the
+            # fine registration's ~1.4 m correspondence gate
+            drift = se3.exp(jnp.array([0.18, 0.1, 0.0, 0, 0, 0.01]) * k)
+            state = PGraph.add_keyframe(
+                state, se3.compose(gt, drift), corner, surf, LCFG)
+        q_idx = jnp.asarray(N_KF)
+        found_plain, *_ = PGraph.try_close_loop(state, q_idx, LCFG, CFG)
+        found_glob, cand, zq, zt, dist, reg = PGraph.try_close_loop(
+            state, q_idx, LCFG, CFG, use_global_reg=True)
+        assert bool(found_glob), (
+            f"global fallback did not verify (plain={bool(found_plain)}, "
+            f"inliers={float(reg.inlier_frac):.2f})"
+        )
+        # the recovered edge must be near the GT relative pose
+        Zgt = se3.relative(circle_pose(int(cand)), circle_pose(N_KF))
+        err = float(jnp.linalg.norm(se3.boxminus(
+            se3.Pose(zq, zt), Zgt)))
+        assert err < 0.3, f"loop edge err {err:.2f}"
