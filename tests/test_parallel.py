@@ -77,3 +77,53 @@ class TestShardedPGO:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestShardedMap:
+    def test_matches_single_device_assembly(self):
+        import jax.numpy as jnp
+        from mloam_tpu.core import se3 as _se3
+        from mloam_tpu.core.se3 import Pose as _Pose
+        from mloam_tpu.frontend.features import FeatCloud
+        from mloam_tpu.mapping import keyframes as KF
+        from mloam_tpu.parallel import sharded_map as SM
+
+        key = jax.random.PRNGKey(0)
+        k_cap, n_pts = 16, 64
+        db = KF.empty_db(k_cap, n_pts, n_pts)
+        for i in range(12):
+            pose = _Pose(
+                jnp.array([1.0, 0, 0, 0]),
+                jnp.array([float(i) * 3.0, 0.0, 0.0]),
+            )
+            pts = jax.random.normal(jax.random.fold_in(key, i), (n_pts, 3))
+            fc = FeatCloud(
+                xyz=pts, mask=jnp.ones(n_pts, bool),
+                time=jnp.zeros(n_pts), ring=jnp.zeros(n_pts, jnp.int32),
+            )
+            db = KF.insert(db, pose, 1e-4 * jnp.eye(6), fc, fc)
+
+        center = jnp.array([10.0, 0.0, 0.0])
+        ext_cov = jnp.zeros((6, 6))
+        cov_meas = 1e-4 * jnp.eye(3)
+
+        mesh = M.make_mesh(4, axis="map")
+        db_sh = SM.shard_db(db, mesh)
+        xyz_s, cov_s, m_s = SM.sharded_surround_map(
+            db_sh, center, radius=10.0, m_per_shard=4,
+            ext_cov=ext_cov, cov_meas=cov_meas, mesh=mesh,
+        )
+        # single-device truth: which keyframes are in radius, their points
+        d = np.linalg.norm(np.asarray(db.poses.t) - np.asarray(center), axis=1)
+        want_kf = set(np.nonzero((d < 10.0) & np.asarray(db.valid))[0])
+        got_pts = np.asarray(xyz_s)[np.asarray(m_s)]
+        want_pts = []
+        for kf_i in want_kf:
+            p = _Pose(db.poses.q[kf_i], db.poses.t[kf_i])
+            want_pts.append(np.asarray(_se3.transform_points(p, db.surf.xyz[kf_i])))
+        want_pts = np.concatenate(want_pts)
+        assert got_pts.shape[0] == want_pts.shape[0]
+        # same point sets (order-insensitive)
+        got_sorted = got_pts[np.lexsort(got_pts.T)]
+        want_sorted = want_pts[np.lexsort(want_pts.T)]
+        np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-4)
