@@ -66,7 +66,11 @@ class OdometryConfig:
     window_size: int = 6
     opt_window_size: int = 3
     gn_iters: int = 5
-    outer_iters: int = 2
+    # one correspondence round suffices: unlike the reference (Ceres starts
+    # cold each frame, hence 2 rebuild rounds), the window is warm-started
+    # from the previous marginalization; verified ATE-neutral on gentle and
+    # aggressive synthetic motion
+    outer_iters: int = 1
     max_solver_time_s: float = 0.02
     huber_delta: float = 0.1
     corner_map_leaf: float = 0.2
