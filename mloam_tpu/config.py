@@ -52,7 +52,7 @@ class TrackerConfig:
     """Scan-to-scan odometry (reference lidar_tracker.cpp)."""
 
     outer_iters: int = 2
-    gn_iters: int = 4
+    gn_iters: int = 3
     huber_delta: float = 0.1
     dist_sq_threshold: float = 25.0
     nearby_scan: float = 2.5
@@ -65,7 +65,7 @@ class OdometryConfig:
 
     window_size: int = 6
     opt_window_size: int = 3
-    gn_iters: int = 5
+    gn_iters: int = 4
     # one correspondence round suffices: unlike the reference (Ceres starts
     # cold each frame, hence 2 rebuild rounds), the window is warm-started
     # from the previous marginalization; verified ATE-neutral on gentle and
