@@ -161,3 +161,23 @@ class TestFeatures:
         a = f(img, seg.segmented)
         b = f(img, seg.segmented)
         np.testing.assert_array_equal(np.asarray(a.sharp.xyz), np.asarray(b.sharp.xyz))
+
+
+class TestPlatformShapes:
+    """Frontend shape-compatibility across the platform presets (HDL-64
+    KITTI, HDL-32 Oxford) — catches sector/ring divisibility regressions."""
+
+    @pytest.mark.parametrize("preset", ["kitti", "oxford"])
+    def test_frontend_runs(self, preset):
+        from mloam_tpu.models import platforms
+        from mloam_tpu.sim import world as W
+
+        cfg = getattr(platforms, preset)()
+        model = cfg.rig.models[0]
+        w = W.make_world(jax.random.PRNGKey(0))
+        pose = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([0.0, 0.0, 0.6]))
+        img = W.render_scan(w, pose, pose, model)
+        seg = segmentation.segment(img, model, cfg.segmenter)
+        ff = features.extract(img, seg.segmented, cfg.features)
+        assert int(ff.less_flat.mask.sum()) > 100
+        assert bool(jnp.isfinite(ff.sharp.xyz).all())
