@@ -92,8 +92,11 @@ def _assemble_map(state: MapperState, center: jnp.ndarray, cfg: MloamConfig,
         flat_xyz = y.reshape(-1, 3)
         flat_cov = cov_pt.reshape(-1, 3, 3)
         flat_m = m.reshape(-1)
+        # packed single-key sort: the surround map spans <= 2*radius
+        # (100 m default) — well inside the 1024-cell packed grid
         ds_xyz, ds_cov, ds_m, _ = voxel.voxel_downsample_with_cov(
-            flat_xyz, flat_cov, flat_m, leaf, mc.voxel_trace_threshold
+            flat_xyz, flat_cov, flat_m, leaf, mc.voxel_trace_threshold,
+            packed=True,
         )
         return ds_xyz, ds_cov, ds_m
 

@@ -120,6 +120,7 @@ def voxel_downsample_with_cov(
     leaf: float,
     trace_threshold: float,
     payload: jnp.ndarray | None = None,
+    packed: bool = False,
 ):
     """Uncertainty-weighted voxel filter (VoxelGridCovarianceMLOAM semantics).
 
@@ -131,7 +132,7 @@ def voxel_downsample_with_cov(
     tr = jnp.trace(cov, axis1=-2, axis2=-1)
     ok = mask & (tr < trace_threshold)
     w = jnp.maximum(trace_threshold - tr, 0.0)
-    red = voxel_reduce(voxel_coords(xyz, leaf), ok)
+    red = voxel_reduce(voxel_coords(xyz, leaf), ok, packed=packed)
     n = xyz.shape[0]
 
     ws = jnp.where(red.sorted_valid, w[red.order], 0.0)
