@@ -120,6 +120,9 @@ class MappingConfig:
     max_keyframes: int = 512
     cap_map_corner: int = 32768
     cap_map_surf: int = 65536
+    # outlier cloud (segmentation rejects) carried as a third feature class
+    # into keyframes for map completeness (reference /laser_cloud_outlier)
+    cap_frame_outlier: int = 1024
     gf_method: str = "full"          # full | rnd | gd (good-feature selection)
     gf_ratio: float = 1.0
 
@@ -138,6 +141,15 @@ class LoopConfig:
     history_search_num: int = 25
     skip_interval: int = 5
     pgo_gn_iters: int = 10
+    # priorless global registration (FFT yaw-sweep correlation) as a second
+    # seed for geometric verification — covers loops whose odometry drift
+    # exceeds the pose-seeded convergence basin (the reference's FGR role)
+    use_global_registration: bool = True
+    # temporal consistency: require N detections implying the same drift
+    # correction before accepting (reference checkTemporalConsistency,
+    # pose_graph.cpp:330-361, is a disabled stub; 1 = accept immediately)
+    temporal_consistency_n: int = 1
+    temporal_consistency_tol: float = 2.0   # meters between implied corrections
 
 
 @dataclass(frozen=True)

@@ -117,21 +117,30 @@ def segment(img: RangeImage, model: LidarModel, cfg: SegmenterConfig) -> Segment
     labels = jnp.arange(r * c, dtype=jnp.int32).reshape(r, c)
     labels = jnp.where(clusterable, labels, jnp.int32(r * c))
     half = c // 2
-
-    def one_round(_, lab):
-        lab = _segmented_min_scan(lab, conn_h)
-        # azimuth wrap: same row pass on a half-rolled image
-        lab_r = jnp.roll(lab, half, axis=1)
-        conn_r = jnp.roll(conn_h, half, axis=1)
-        conn_r = conn_r.at[:, half].set(wrap_ok)
-        conn_r = conn_r.at[:, 0].set(False)
-        lab = jnp.roll(_segmented_min_scan(lab_r, conn_r), -half, axis=1)
-        # column pass (transpose)
-        lab = _segmented_min_scan(lab.T, conn_v.T).T
-        return lab
-
     n_rounds = max(cfg.label_iters // 4, 3)
-    labels = jax.lax.fori_loop(0, n_rounds, one_round, labels)
+
+    if jax.devices()[0].platform == "tpu":
+        # fused single-dispatch propagation (ops/pallas_labels): the XLA
+        # path below lowers to ~30 small scan kernels per round
+        from mloam_tpu.ops import pallas_labels
+
+        labels = pallas_labels.propagate_labels_pallas(
+            labels, conn_h.at[:, 0].set(wrap_ok), conn_v, rounds=n_rounds
+        )
+    else:
+        def one_round(_, lab):
+            lab = _segmented_min_scan(lab, conn_h)
+            # azimuth wrap: same row pass on a half-rolled image
+            lab_r = jnp.roll(lab, half, axis=1)
+            conn_r = jnp.roll(conn_h, half, axis=1)
+            conn_r = conn_r.at[:, half].set(wrap_ok)
+            conn_r = conn_r.at[:, 0].set(False)
+            lab = jnp.roll(_segmented_min_scan(lab_r, conn_r), -half, axis=1)
+            # column pass (transpose)
+            lab = _segmented_min_scan(lab.T, conn_v.T).T
+            return lab
+
+        labels = jax.lax.fori_loop(0, n_rounds, one_round, labels)
 
     # --- cluster stats via scatter keyed on label
     flat = labels.reshape(-1)

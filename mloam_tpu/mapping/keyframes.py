@@ -27,37 +27,45 @@ class KeyframeDB(NamedTuple):
     cov: jnp.ndarray     # [K, 6, 6] pose covariance
     corner: FeatCloud    # [K, Nc] base-frame corner features
     surf: FeatCloud      # [K, Ns]
+    outlier: FeatCloud   # [K, No] segmentation rejects (map completeness,
+    #                      reference /laser_cloud_outlier; not matched)
     valid: jnp.ndarray   # [K]
     head: jnp.ndarray    # scalar int32 ring cursor
 
 
-def empty_db(k: int, cap_corner: int, cap_surf: int) -> KeyframeDB:
+def empty_db(k: int, cap_corner: int, cap_surf: int,
+             cap_outlier: int = 0) -> KeyframeDB:
+    def stack(cap):
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (k,) + x.shape).copy(),
+            FeatCloud.zeros(max(cap, 1)),
+        )
+
     return KeyframeDB(
         poses=Pose.identity((k,)),
         cov=jnp.zeros((k, 6, 6)),
-        corner=jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (k,) + x.shape).copy(),
-            FeatCloud.zeros(cap_corner),
-        ),
-        surf=jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (k,) + x.shape).copy(),
-            FeatCloud.zeros(cap_surf),
-        ),
+        corner=stack(cap_corner),
+        surf=stack(cap_surf),
+        outlier=stack(cap_outlier),
         valid=jnp.zeros((k,), bool),
         head=jnp.asarray(0, jnp.int32),
     )
 
 
 def insert(db: KeyframeDB, pose: Pose, cov: jnp.ndarray,
-           corner: FeatCloud, surf: FeatCloud) -> KeyframeDB:
+           corner: FeatCloud, surf: FeatCloud,
+           outlier: FeatCloud | None = None) -> KeyframeDB:
     """Ring-insert one keyframe (overwrites the oldest at capacity)."""
     k = db.valid.shape[0]
     i = db.head % k
+    if outlier is None:
+        outlier = jax.tree.map(lambda a: a[i], db.outlier)  # keep zeros
     return KeyframeDB(
         poses=Pose(db.poses.q.at[i].set(pose.q), db.poses.t.at[i].set(pose.t)),
         cov=db.cov.at[i].set(cov),
         corner=jax.tree.map(lambda a, n: a.at[i].set(n), db.corner, corner),
         surf=jax.tree.map(lambda a, n: a.at[i].set(n), db.surf, surf),
+        outlier=jax.tree.map(lambda a, n: a.at[i].set(n), db.outlier, outlier),
         valid=db.valid.at[i].set(True),
         head=db.head + 1,
     )

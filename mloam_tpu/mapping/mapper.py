@@ -54,8 +54,12 @@ class MapperOutput(NamedTuple):
 
 def init_state(cfg: MloamConfig) -> MapperState:
     mc = cfg.mapping
-    db = KF.empty_db(mc.max_keyframes, cfg.odometry.cap_frame_corner,
-                     cfg.odometry.cap_frame_surf)
+    # keyframe clouds are the per-sweep features merged over all lidars
+    # (FullPipeline._merge), so capacities scale with the rig size
+    L = cfg.rig.n_lidars
+    db = KF.empty_db(mc.max_keyframes, L * cfg.odometry.cap_frame_corner,
+                     L * cfg.odometry.cap_frame_surf,
+                     L * mc.cap_frame_outlier)
     return MapperState(
         db=db,
         pose_map_odom=Pose.identity(),
@@ -204,10 +208,13 @@ def mapper_step(
     corner: FeatCloud,
     surf: FeatCloud,
     cfg: MloamConfig,
+    outlier: FeatCloud | None = None,
 ) -> tuple[MapperState, MapperOutput]:
     """One mapping update. ``odom_pose`` is the odometry-frame pose;
     corner/surf are the current sweep's features in the base frame (already
-    merged over lidars through their extrinsics)."""
+    merged over lidars through their extrinsics). ``outlier`` (optional,
+    same frame) is stored into the keyframe for map completeness — it is
+    never matched (reference /laser_cloud_outlier handling)."""
     mc = cfg.mapping
     pose_pred = se3.compose(state.pose_map_odom, odom_pose)
 
@@ -235,7 +242,7 @@ def mapper_step(
                            mc.keyframe_angle_deg)
     db = jax.tree.map(
         lambda a, b: jnp.where(ins, a, b),
-        KF.insert(state.db, pose, cov, corner, surf),
+        KF.insert(state.db, pose, cov, corner, surf, outlier),
         state.db,
     )
     last_kf = jax.tree.map(

@@ -81,6 +81,7 @@ class OdometryPipeline:
             cfg, cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
         )
         self.prev_feats: list[FeatureFrame | None] = [None] * L
+        self.last_outlier: list = [None] * L
         self.motions: list[Pose] = [Pose.identity() for _ in range(L)]
         self.world_pose: Pose = Pose.identity()
         self.calib_buffers = [I.MotionBuffer.empty(cfg.calib.n_pose_buffer)
@@ -145,6 +146,7 @@ class OdometryPipeline:
             cfg, cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
         )
         self.prev_feats = [None] * L
+        self.last_outlier = [None] * L
         self.motions = [Pose.identity() for _ in range(L)]
         self.world_pose = Pose.identity()
         self.calib_buffers = [I.MotionBuffer.empty(cfg.calib.n_pose_buffer)
@@ -156,6 +158,8 @@ class OdometryPipeline:
     # ---------------- device programs ----------------
 
     def _frontend_impl(self, img: RangeImage, model_idx: int = 0):
+        from mloam_tpu.frontend.features import FeatCloud
+
         model = self.cfg.rig.models[model_idx]
         seg = S.segment(img, model, self.cfg.segmenter)
         ff = F.extract(img, seg.segmented, self.cfg.features)
@@ -167,7 +171,23 @@ class OdometryPipeline:
             ff.less_flat, self.cfg.odometry.surf_map_leaf,
             self.cfg.odometry.cap_frame_surf,
         )
-        return ff, corner, surf
+        # segmentation rejects as a third feature class for map completeness
+        # (reference /laser_cloud_outlier; stored in keyframes, not matched)
+        r, c = img.rng.shape
+        rows = jnp.broadcast_to(
+            jnp.arange(r, dtype=jnp.int32)[:, None], (r, c)
+        ).reshape(-1)
+        out_fc = FeatCloud(
+            xyz=img.xyz.reshape(-1, 3),
+            mask=seg.outlier.reshape(-1),
+            time=img.time.reshape(-1),
+            ring=rows,
+        )
+        outlier = downsample_featcloud(
+            out_fc, self.cfg.mapping.outlier_leaf,
+            self.cfg.mapping.cap_frame_outlier,
+        )
+        return ff, corner, surf, outlier
 
     def _track_impl(self, prev: FeatureFrame, curr: FeatureFrame, T: Pose):
         return TR.track(prev, curr, T, self.cfg.tracker)
@@ -230,13 +250,13 @@ class OdometryPipeline:
         in ONE dispatch. On the axon tunnel each submission costs ~3-5 ms,
         so collapsing the 6-call chain is the difference between ~34 and
         ~100+ frames/s."""
-        ff, corner, surf = self._frontend_impl(img, 0)
+        ff, corner, surf, outlier = self._frontend_impl(img, 0)
         res, desk = TR.track(prev_feat0, ff, motion0, self.cfg.tracker)
         window, solve, pred, refined = self._window_step_impl(
             window, world_pose, res.pose, (res.pose,), (corner,), (surf,),
             mode2=False, calibrate_ext=False, lidars=(0,),
         )
-        return window, refined, res.pose, desk, pred, solve
+        return window, refined, res.pose, desk, pred, solve, outlier
 
     # ---------------- host orchestration ----------------
 
@@ -314,12 +334,13 @@ class OdometryPipeline:
             and self.frame_idx >= cfg.odometry.window_size
         ):
             (self.window, refined, motion, desk, pred,
-             solve) = self._fused(
+             solve, outlier0) = self._fused(
                 self.window, self.world_pose, self.motions[0],
                 self.prev_feats[0], imgs[0],
             )
             self.motions[0] = motion
             self.prev_feats[0] = desk
+            self.last_outlier[0] = outlier0
             self.world_pose = refined
             self.frame_idx += 1
             return OdometryOutput(
@@ -331,10 +352,11 @@ class OdometryPipeline:
         ffs, corners, surfs = [], [], []
         with timing.timer("odom_mea_pre"):
             for l, img in enumerate(imgs):
-                ff, c, s = self._frontends[l](img)
+                ff, c, s, o = self._frontends[l](img)
                 ffs.append(ff)
                 corners.append(c)
                 surfs.append(s)
+                self.last_outlier[l] = o
             _sync(surfs)
 
         if self.prev_feats[0] is None:
@@ -439,6 +461,24 @@ class FullPipeline:
             functools.partial(MP.mapper_step, cfg=cfg)
         )
         self._merge = jax.jit(self._merge_impl)
+        self._merge_outlier = jax.jit(self._merge_outlier_impl)
+
+    def _merge_outlier_impl(self, ext: Pose, outliers: tuple):
+        """Project per-lidar outlier clouds through the extrinsics into the
+        base frame and concatenate (same as _merge but for the raw outlier
+        lists held outside the window)."""
+        from mloam_tpu.frontend.features import FeatCloud
+
+        parts = []
+        for l, fc in enumerate(outliers):
+            El = Pose(ext.q[l], ext.t[l])
+            parts.append(fc._replace(xyz=se3.transform_points(El, fc.xyz)))
+        return FeatCloud(
+            xyz=jnp.concatenate([p.xyz for p in parts]),
+            mask=jnp.concatenate([p.mask for p in parts]),
+            time=jnp.concatenate([p.time for p in parts]),
+            ring=jnp.concatenate([p.ring for p in parts]),
+        )
 
     def _merge_impl(self, ext: Pose, corner_stack, surf_stack):
         """Slice the newest window slot per lidar, project through the
@@ -478,8 +518,12 @@ class FullPipeline:
                 self.odom.window.ext, self.odom.window.corner,
                 self.odom.window.surf,
             )
+            outlier_b = self._merge_outlier(
+                self.odom.window.ext, tuple(self.odom.last_outlier)
+            )
             self.mapper_state, mout = self._mapper_step(
-                self.mapper_state, out.pose, corner_b, surf_b
+                self.mapper_state, out.pose, corner_b, surf_b,
+                outlier=outlier_b,
             )
             return FullOutput(
                 odom=out, map_pose=mout.pose, map_cov=mout.cov, mapped=True
@@ -522,16 +566,64 @@ class SlamPipeline:
         self._PGraph = PGraph
         self.kf_counter = 0
         self.n_loops = 0
+        # pending detections awaiting temporal consistency:
+        # list of (query_idx, cand_idx, zq, zt, correction_t [3])
+        self._pending_loops: list = []
         self._add_kf = jax.jit(
             functools.partial(PGraph.add_keyframe, cfg=cfg.loop)
         )
         self._try_loop = jax.jit(
-            functools.partial(PGraph.try_close_loop, lcfg=cfg.loop, cfg=cfg)
+            functools.partial(
+                PGraph.try_close_loop, lcfg=cfg.loop, cfg=cfg,
+                use_global_reg=cfg.loop.use_global_registration,
+            )
         )
         self._record = jax.jit(PGraph.record_loop)
         self._optimize = jax.jit(
             functools.partial(PGraph.optimize, iters=cfg.loop.pgo_gn_iters)
         )
+
+    def _loop_correction_t(self, q_idx: int, cand: int, zt) -> np.ndarray:
+        """Translation the loop edge would apply to the query keyframe:
+        (T_cand ∘ Z).t − T_query.t. Used by the temporal-consistency gate."""
+        qs = np.asarray(jax.device_get(self.loop_state.poses.q))
+        ts = np.asarray(jax.device_get(self.loop_state.poses.t))
+        w, x, y, z = qs[cand]
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        return R @ np.asarray(jax.device_get(zt)) + ts[cand] - ts[q_idx]
+
+    def _accept_loop(self, q_idx: int, cand: int, zq, zt) -> bool:
+        """Temporal-consistency gate: require ``temporal_consistency_n``
+        detections implying the same drift correction (within tol meters)
+        before committing edges + running PGO. With n=1 (default, matching
+        the reference's pass-through checkTemporalConsistency) every
+        verified detection is committed immediately."""
+        cfg = self.cfg
+        corr = self._loop_correction_t(q_idx, cand, zt)
+        window = 2 * max(cfg.loop.skip_interval, 1) + 2
+        self._pending_loops = [
+            p for p in self._pending_loops if q_idx - p[0] <= window
+        ]
+        self._pending_loops.append((q_idx, cand, zq, zt, corr))
+        consistent = [
+            p for p in self._pending_loops
+            if np.linalg.norm(p[4] - corr) < cfg.loop.temporal_consistency_tol
+        ]
+        if len(consistent) < max(cfg.loop.temporal_consistency_n, 1):
+            return False
+        for (qi, cj, pzq, pzt, _) in consistent:
+            self.loop_state = self._record(
+                self.loop_state, jnp.asarray(True), jnp.asarray(cj),
+                jnp.asarray(qi), pzq, pzt,
+            )
+        self._pending_loops = []
+        self.loop_state = self._optimize(self.loop_state)
+        self.n_loops += len(consistent)
+        return True
 
     def corrected_trajectory(self):
         """Loop-corrected keyframe trajectory (valid prefix)."""
@@ -563,12 +655,8 @@ class SlamPipeline:
                         self.loop_state, jnp.asarray(q_idx_host)
                     )
                     if bool(found):
-                        self.loop_state = self._record(
-                            self.loop_state, found, cand,
-                            jnp.asarray(q_idx_host), zq, zt
+                        loop_found = self._accept_loop(
+                            q_idx_host, int(jax.device_get(cand)), zq, zt
                         )
-                        self.loop_state = self._optimize(self.loop_state)
-                        self.n_loops += 1
-                        loop_found = True
         return SlamOutput(full=out, loop_found=loop_found,
                           n_loops=self.n_loops)

@@ -100,6 +100,21 @@ def knn(
     return best_d, best_i
 
 
+def knn_auto(q, r, r_mask, k: int, chunk: int = 4096):
+    """k-NN entry point for the matchers (solver/factors.py).
+
+    Measured head-to-head INSIDE the fused per-sweep program on a v5e
+    (BENCH_NOTES round-1 log), the XLA matmul+approx_max_k path beats both
+    Pallas kernel variants (ops/pallas_knn) at every pipeline shape —
+    XLA fuses the distance computation into the approx reduction without
+    materializing the distance matrix, and its bucketed top-k maps to the
+    same lane structure. The Pallas kernel remains available (and tested)
+    for standalone use / future revisit on newer hardware; isolated
+    microbenchmarks through the axon tunnel are NOT trustworthy evidence
+    either way (submission fan-out + eager-op poisoning, BENCH_NOTES)."""
+    return knn(q, r, r_mask, k, chunk)
+
+
 def nearest(q, r, r_mask, chunk: int = 4096):
     d, i = knn(q, r, r_mask, 1, chunk)
     return d[:, 0], i[:, 0]

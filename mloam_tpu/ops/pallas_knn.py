@@ -1,21 +1,40 @@
-"""Pallas TPU kernel: fused brute-force 1-NN correspondence search.
+"""Pallas TPU kernel: fused brute-force nearest-neighbor correspondence.
 
 SURVEY §7.4 ranks NN correspondence as the make-or-break kernel. The XLA
-path (ops/knn.py) materializes a [Nq, chunk] distance tile in HBM between
-the matmul and the top-k; this Pallas kernel keeps each distance tile in
-VMEM and folds the running minimum in-register — one pass over the
-reference set per query tile, no distance matrix ever leaving VMEM.
+path (ops/knn.py) materializes [Nq, chunk] distance tiles in HBM between
+the matmul and the top-k; this kernel keeps every distance tile in VMEM
+and folds the reduction in-register — one pass over the reference set per
+query tile, no distance matrix ever leaving the chip.
 
-Grid: (query_tiles,) with the full reference resident (streamed per tile by
-the implicit pipeline). Each program:
-  - loads a [TQ, 3] query tile and iterates reference tiles [TR, 3]
-  - computes the [TQ, TR] squared-distance tile on the MXU
-    (f32 accumulation — see ops/knn.py on bf16 cancellation)
-  - updates the running (min distance, argmin index) with a masked select
+Layout (the whole trick):
 
-Returns exact 1-NN (distances², indices); falls back to the XLA path
-off-TPU. Mosaic note: 1-D f32 outputs must tile at 1024 to match the XLA
-layout (T(1024)) — hence the 1024 default query tile.
+  * The reference set is stored TRANSPOSED and augmented: ``r_aug[4, NR]``
+    holds x/y/z rows plus a precomputed ``||r||²`` row. A ``[NR, 3]`` f32
+    array in VMEM pads its 3-lane minor dim to 128 lanes (42x waste — a
+    64k-point map would need 32 MB); ``[4, NR]`` pads sublanes 4→8 only.
+  * k-NN is bucketed with **bucket = lane**: reference point ``o`` belongs
+    to bucket ``o % 128``. The per-bucket running minimum over the whole
+    reference is then a pure ELEMENTWISE min of the [TQ, 128] lane slices
+    of each distance tile — no lane reductions, no relayouts, no
+    permutation (the natural storage order already interleaves spatially
+    adjacent points — which are adjacent in the voxel-sorted map — across
+    lanes). The kernel tracks, per (query, lane), the winning distance and
+    the winning 128-point *segment* id; the final k-of-128 selection and
+    index reconstruction run outside on the tiny [Nq, 128] result.
+  * Masked reference points are displaced to +2e4 m before the kernel so
+    they can never win; the wrapper restores the XLA path's contract
+    (distance ``_BIG``, index clipped) afterwards.
+  * f32 + Precision.HIGHEST + recentering: the ||q||²+||r||²-2q·r
+    expansion catastrophically cancels in bf16 at LiDAR ranges
+    (see ops/knn.py).
+
+Exact for k=1 (the true nearest always wins its lane). For k>1 a true
+neighbor is lost only when two of the true top-k collide in one of the 128
+lane buckets (rare; replacement is the next-nearest in that lane, so
+acceptance gates using d[:, k-1] only become stricter — like
+``lax.approx_max_k`` recall semantics).
+
+Replaces the reference's PCL kd-trees (feature_extract.hpp:132-643).
 """
 
 from __future__ import annotations
@@ -28,87 +47,110 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
+_FAR = 2e4       # displacement for masked/padded reference points (meters)
+_KNOCK = 1e12    # must exceed any real or displaced distance (~1.6e9)
+_LANES = 128
 
 
-def _nn_kernel(q_ref, r_ref, rmask_ref, d_ref, i_ref, *, tr: int, n_r: int):
-    q = q_ref[:]                               # [TQ, 3] VMEM
+def _lane_bucket_kernel(q_ref, r_ref, d_ref, s_ref, *, tr: int, n_r: int):
+    """Per-lane-bucket running minima over all reference tiles for one
+    query tile. Outputs [TQ, 128] best distances and segment ids
+    (reference index = segment * 128 + lane)."""
+    q = q_ref[:]                                   # [TQ, 3]
     tq = q.shape[0]
-    qq = jnp.sum(q * q, axis=-1, keepdims=True)  # [TQ, 1]
-
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)    # [TQ, 1]
+    segs_per_tile = tr // _LANES
     n_tiles = n_r // tr
 
     def body(t, carry):
-        best_d, best_i = carry
-        r = r_ref[pl.ds(t * tr, tr), :]        # [TR, 3]
-        m = rmask_ref[pl.ds(t * tr, tr)]       # [TR]
-        rr = jnp.sum(r * r, axis=-1)[None, :]  # [1, TR]
+        best_d, best_s = carry                     # [TQ, 128] each
+        off = pl.multiple_of(t * tr, tr)
+        rt = r_ref[0:3, pl.ds(off, tr)]            # [3, TR]
+        rr = r_ref[3:4, pl.ds(off, tr)]            # [1, TR]
         cross = jax.lax.dot_general(
-            q, r, (((1,), (1,)), ((), ())),
+            q, rt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )                                       # [TQ, TR]
+        )                                           # [TQ, TR]
         d = qq + rr - 2.0 * cross
-        d = jnp.where(m[None, :] > 0, d, _BIG)
-        tile_min = jnp.min(d, axis=1)
-        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + t * tr
-        take = tile_min < best_d
-        return (
-            jnp.where(take, tile_min, best_d),
-            jnp.where(take, tile_arg, best_i),
-        )
+        for g in range(segs_per_tile):
+            dg = d[:, g * _LANES:(g + 1) * _LANES]  # [TQ, 128] static slice
+            s = t * segs_per_tile + g
+            take = dg < best_d
+            best_d = jnp.where(take, dg, best_d)
+            best_s = jnp.where(take, s, best_s)
+        return best_d, best_s
 
-    init = (jnp.full((tq,), _BIG, jnp.float32), jnp.zeros((tq,), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
+    init = (jnp.full((tq, _LANES), _KNOCK, jnp.float32),
+            jnp.zeros((tq, _LANES), jnp.int32))
+    best_d, best_s = jax.lax.fori_loop(0, n_tiles, body, init)
     d_ref[:] = jnp.maximum(best_d, 0.0)
-    i_ref[:] = best_i
+    s_ref[:] = best_s
 
 
-@functools.partial(jax.jit, static_argnames=("tq", "tr"))
-def nearest_pallas(q: jnp.ndarray, r: jnp.ndarray, r_mask: jnp.ndarray,
-                   tq: int = 1024, tr: int = 1024):
-    """Exact 1-NN: (d² [Nq], idx [Nq]) of each query in the reference set.
-
-    Shapes are padded up to tile multiples; masked/padded reference points
-    can never win (distance forced to +inf).
-    """
-    nq, _ = q.shape
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tr"))
+def knn_pallas(q: jnp.ndarray, r: jnp.ndarray, r_mask: jnp.ndarray,
+               k: int, tq: int = 256, tr: int = 2048):
+    """Lane-bucketed k-NN: (d² [Nq,k] ascending, idx [Nq,k] into r)."""
+    assert k <= _LANES
+    nq, dim = q.shape
+    assert dim == 3, "pallas knn is specialized to 3-D points"
     nr = r.shape[0]
     nq_p = -(-nq // tq) * tq
     nr_p = -(-nr // tr) * tr
-    qp = jnp.pad(q, ((0, nq_p - nq), (0, 0)))
-    rp = jnp.pad(r, ((0, nr_p - nr), (0, 0)))
-    mp = jnp.pad(r_mask.astype(jnp.float32), (0, nr_p - nr))
 
-    # recenter (see ops/knn.py: bf16/cancellation discipline)
-    center = jnp.sum(rp * mp[:, None], 0) / jnp.maximum(jnp.sum(mp), 1.0)
-    qp = qp - center
-    rp = rp - center
+    # recenter for f32 accuracy, then displace masked + padded points
+    valid = r_mask.astype(jnp.float32)
+    center = jnp.sum(r * valid[:, None], 0) / jnp.maximum(jnp.sum(valid), 1.0)
+    qp = jnp.pad(q - center, ((0, nq_p - nq), (0, 0)))
+    rc = jnp.where(r_mask[:, None], r - center, _FAR)
+    rc = jnp.pad(rc, ((0, nr_p - nr), (0, 0)), constant_values=_FAR)
+    r_aug = jnp.concatenate(
+        [rc.T, jnp.sum(rc * rc, axis=1)[None, :]], axis=0
+    )                                               # [4, NR_p]
 
-    d, i = pl.pallas_call(
-        functools.partial(_nn_kernel, tr=tr, n_r=nr_p),
+    bd, bs = pl.pallas_call(
+        functools.partial(_lane_bucket_kernel, tr=tr, n_r=nr_p),
         grid=(nq_p // tq,),
         in_specs=[
             pl.BlockSpec((tq, 3), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr_p, 3), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr_p,), lambda g: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nr_p), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq,), lambda g: (g,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq,), lambda g: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nq_p,), jnp.float32),
-            jax.ShapeDtypeStruct((nq_p,), jnp.int32),
+            jax.ShapeDtypeStruct((nq_p, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nq_p, _LANES), jnp.int32),
         ],
-    )(qp, rp, mp)
-    return d[:nq], i[:nq]
+    )(qp, r_aug)
+
+    bd, bs = bd[:nq], bs[:nq]
+    neg, lane = jax.lax.top_k(-bd, k)              # tiny: [Nq, 128] -> k
+    d = -neg
+    idx = jnp.take_along_axis(bs, lane, axis=1) * _LANES + lane
+    ok = (idx < nr) & (d < _KNOCK * 0.5)
+    idx = jnp.clip(idx, 0, nr - 1)
+    ok = ok & r_mask[idx]
+    return jnp.where(ok, d, _BIG), idx
+
+
+def knn(q, r, r_mask, k: int):
+    """k-NN with automatic backend choice (Pallas on TPU for 3-D points,
+    XLA elsewhere)."""
+    if jax.devices()[0].platform == "tpu" and q.shape[-1] == 3 \
+            and r.shape[0] >= 256:
+        return knn_pallas(q, r, r_mask, k)
+    from mloam_tpu.ops import knn as knn_ops
+
+    return knn_ops.knn(q, r, r_mask, k)
 
 
 def nearest(q, r, r_mask):
-    """1-NN with automatic backend choice (Pallas on TPU, XLA elsewhere)."""
-    if jax.devices()[0].platform == "tpu":
-        return nearest_pallas(q, r, r_mask)
-    from mloam_tpu.ops import knn as knn_ops
-
-    d, i = knn_ops.knn(q, r, r_mask, 1)
+    """1-NN with automatic backend choice (exact on both backends)."""
+    d, i = knn(q, r, r_mask, 1)
     return d[:, 0], i[:, 0]

@@ -27,13 +27,16 @@ from mloam_tpu.core import se3, uncertainty
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend.features import FeatCloud
 from mloam_tpu.mapping import keyframes as KF
-from mloam_tpu.parallel.mesh import MAP_AXIS
+from mloam_tpu.parallel.mesh import MAP_AXIS, data_axes
 
 
 def shard_db(db: KF.KeyframeDB, mesh: Mesh) -> KF.KeyframeDB:
-    """Lay the keyframe axis out over the mesh's MAP_AXIS (K must divide by
-    the axis size; capacities are configured that way)."""
-    sharding = jax.sharding.NamedSharding(mesh, P(MAP_AXIS))
+    """Lay the keyframe axis out over ALL mesh axes (K must divide by
+    mesh.devices.size; capacities are configured that way). On a 2-D
+    (host, map) mesh from make_multihost_mesh this places contiguous
+    keyframe blocks per host — the multi-host keyframe sharding of the
+    BASELINE north star (DCN only at the gather)."""
+    sharding = jax.sharding.NamedSharding(mesh, P(data_axes(mesh)))
 
     def place(x):
         if x.ndim == 0:
@@ -61,9 +64,10 @@ def sharded_surround_map(
     fixed shapes, gathered on every device (replicated output).
     """
     stack_name = "corner" if use_corner else "surf"
+    axes = data_axes(mesh)
 
     db_specs = jax.tree.map(
-        lambda x: P(MAP_AXIS) if x.ndim >= 1 else P(), db
+        lambda x: P(axes) if x.ndim >= 1 else P(), db
     )
 
     @functools.partial(
@@ -92,11 +96,13 @@ def sharded_surround_map(
 
         y, cov_pt, m = jax.vmap(per_kf)(q, t, cov_pose, xyz, mask)
         flat = lambda a: a.reshape((-1,) + a.shape[2:])
-        # gather each device's shard contribution; tiled => concatenated
+        # gather each device's shard contribution; tiled => concatenated.
+        # On a (host, map) mesh the gather is hierarchical: ICI within
+        # hosts, one DCN exchange across.
         return (
-            jax.lax.all_gather(flat(y), MAP_AXIS, tiled=True),
-            jax.lax.all_gather(flat(cov_pt), MAP_AXIS, tiled=True),
-            jax.lax.all_gather(flat(m), MAP_AXIS, tiled=True),
+            jax.lax.all_gather(flat(y), axes, tiled=True),
+            jax.lax.all_gather(flat(cov_pt), axes, tiled=True),
+            jax.lax.all_gather(flat(m), axes, tiled=True),
         )
 
     return run(db, center)

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mloam_tpu.core import se3
 from mloam_tpu.core.se3 import Pose
-from mloam_tpu.parallel.mesh import FACTOR_AXIS
+from mloam_tpu.parallel.mesh import FACTOR_AXIS, data_axes
 
 
 class PoseGraphEdges(NamedTuple):
@@ -97,9 +97,11 @@ def _linearize_edges(poses: Pose, edges: PoseGraphEdges, anchor_idx: int,
 
 def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
              anchor_w: float = 1e3, lm_lambda: float = 1e-3,
-             axis_name: str | None = None, dof4: bool = False):
-    """One damped GN step over all poses. If ``axis_name`` is set, (H, g,
-    cost) are psum-reduced across that mesh axis (edges sharded per device).
+             axis_name: str | tuple[str, ...] | None = None,
+             dof4: bool = False):
+    """One damped GN step over all poses. If ``axis_name`` is set (one mesh
+    axis or a tuple — e.g. ('host', 'factor') for multi-host), (H, g,
+    cost) are psum-reduced across those axes (edges sharded per device).
 
     ``dof4``: 4-DoF mode — roll/pitch tangent components of the update are
     zeroed, keeping gravity-aligned orientations from odometry (the
@@ -142,7 +144,10 @@ def optimize_pose_graph(
     dof4: bool = False,
 ):
     """Full PGO: ``iters`` damped GN steps. With a mesh, edges are sharded
-    over FACTOR_AXIS and the reduction rides ICI psum (shard_map)."""
+    over ALL mesh axes and the normal-equation reduction is a psum across
+    them — on a 1-D mesh that's an ICI reduce; on a 2-D
+    (host, factor) mesh (mesh.make_multihost_mesh) XLA reduces within each
+    host over ICI first, then once across hosts over DCN."""
 
     if mesh is None:
         def body(_, p):
@@ -151,6 +156,7 @@ def optimize_pose_graph(
 
         return jax.lax.fori_loop(0, iters, body, poses)
 
+    axes = data_axes(mesh)
     n_dev = mesh.devices.size
     e = edges.i.shape[0]
     pad = (-e) % n_dev
@@ -166,18 +172,17 @@ def optimize_pose_graph(
         weight=jnp.pad(edges.weight, ((0, pad), (0, 0))),
     )
 
+    shard = P(axes)  # leading edge axis over every mesh axis
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), PoseGraphEdges(P(FACTOR_AXIS), P(FACTOR_AXIS),
-                                      P(FACTOR_AXIS), P(FACTOR_AXIS),
-                                      P(FACTOR_AXIS)),),
+        in_specs=(P(), PoseGraphEdges(shard, shard, shard, shard, shard)),
         out_specs=P(),
     )
     def run(p, e_shard):
         def body(_, pp):
             p2, _ = pgo_step(pp, e_shard, anchor_idx=anchor_idx,
-                             axis_name=FACTOR_AXIS, dof4=dof4)
+                             axis_name=axes, dof4=dof4)
             return p2
 
         return jax.lax.fori_loop(0, iters, body, p)

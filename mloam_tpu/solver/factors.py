@@ -117,7 +117,7 @@ def match_scan_edge(
     ``q_in_target``: query points already de-skewed/predicted into the target
     frame (association uses the current motion estimate).
     """
-    d, idx = knn_ops.knn(q_in_target, target.xyz, target.mask, k)
+    d, idx = knn_ops.knn_auto(q_in_target, target.xyz, target.mask, k)
     ring_q = q.ring
     ring_n = target.ring[idx]                      # [N, k]
     j_ring = ring_n[:, 0]
@@ -154,7 +154,7 @@ def match_scan_plane(
     """Plane correspondence against the previous sweep's less-flat cloud:
     nearest j, nearest l on the same ring, nearest m on a nearby different
     ring — the three defining a plane (feature_extract.hpp:274-376)."""
-    d, idx = knn_ops.knn(q_in_target, target.xyz, target.mask, k)
+    d, idx = knn_ops.knn_auto(q_in_target, target.xyz, target.mask, k)
     ring_n = target.ring[idx]
     j_ring = ring_n[:, 0]
     diff = ring_n - j_ring[:, None]
@@ -205,7 +205,7 @@ def match_map_edge(
     """kNN → 3x3 scatter eigendecomposition; accept if strongly linear
     (λ_max > 3 λ_mid); line = centroid ± eigvec (feature_extract.hpp:
     379-538)."""
-    d, idx = knn_ops.knn(q_in_map, map_xyz, map_mask, k)
+    d, idx = knn_ops.knn_auto(q_in_map, map_xyz, map_mask, k)
     nn = map_xyz[idx]                              # [N, k, 3]
     ok_all = d[:, k - 1] < dist_sq_threshold
     centroid = jnp.mean(nn, axis=1)
@@ -240,7 +240,7 @@ def match_map_plane(
     nearby walls that dominate odometry. The PCA form is well-posed for
     every plane position and costs one batched 3x3 eigh.
     """
-    d, idx = knn_ops.knn(q_in_map, map_xyz, map_mask, k)
+    d, idx = knn_ops.knn_auto(q_in_map, map_xyz, map_mask, k)
     nn = map_xyz[idx]
     ok_all = d[:, k - 1] < dist_sq_threshold
     centroid = jnp.mean(nn, axis=1)

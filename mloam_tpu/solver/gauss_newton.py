@@ -91,14 +91,21 @@ def gauss_newton(
     iters: int,
     init_lambda: float = 1e-4,
     remap_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+    iteration_hook: Callable[[jnp.ndarray, GNState], GNState] | None = None,
 ) -> GNState:
     """Run ``iters`` damped GN steps. ``remap_fn(H, dx) -> dx`` optionally
-    projects the update (degeneracy solution-remapping)."""
+    projects the update (degeneracy solution-remapping).
+
+    ``iteration_hook(i, state) -> state`` is the counterpart of the
+    reference's Ceres ``IterationCallback`` (StateUpdatingCovarianceCallback,
+    impl_callback.hpp:19-24): a pure function applied after every accepted
+    step — use it to update covariance-coupled quantities mid-solve or to
+    emit monitoring via ``jax.debug.callback``."""
 
     H0, g0, c0 = _linearize(residual_fn, retract, x0, dim)
     init = GNState(x0, c0, jnp.asarray(init_lambda, jnp.float32), H0, g0)
 
-    def body(_, st: GNState) -> GNState:
+    def body(i, st: GNState) -> GNState:
         dx = solve_normal(st.H, st.g, st.lm_lambda)
         if remap_fn is not None:
             dx = remap_fn(st.H, dx)
@@ -111,12 +118,15 @@ def gauss_newton(
         x_out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), x_new, st.x
         )
-        return GNState(
+        st = GNState(
             x_out,
             jnp.where(accept, cost, st.cost),
             lam,
             jax.tree.map(lambda a, b: jnp.where(accept, a, b), H, st.H),
             jax.tree.map(lambda a, b: jnp.where(accept, a, b), g, st.g),
         )
+        if iteration_hook is not None:
+            st = iteration_hook(i, st)
+        return st
 
     return jax.lax.fori_loop(0, iters, body, init)

@@ -86,3 +86,34 @@ def export_map_pcd(path: str, xyz: np.ndarray, mask: np.ndarray | None = None):
         )
         for p in xyz:
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+
+def plot_plane_normals(path_png: str, points: np.ndarray,
+                       normals: np.ndarray, mask: np.ndarray | None = None,
+                       stride: int = 8, title: str = "plane normals"):
+    """Headless counterpart of the reference's PlaneNormalVisualizer
+    (utility/cloud_visualizer.{h,cpp}: a PCL viewer thread drawing the
+    correspondence plane normals): top-down scatter of the matched points
+    with their fitted normals as arrows, written to PNG."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    points = np.asarray(points)
+    normals = np.asarray(normals)
+    if mask is not None:
+        keep = np.asarray(mask).astype(bool)
+        points, normals = points[keep], normals[keep]
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.scatter(points[:, 0], points[:, 1], s=2, c=points[:, 2],
+               cmap="viridis", alpha=0.6)
+    sub = points[::stride], normals[::stride]
+    ax.quiver(sub[0][:, 0], sub[0][:, 1], sub[1][:, 0], sub[1][:, 1],
+              color="tab:red", width=0.002, scale=30)
+    ax.set_aspect("equal")
+    ax.set_title(title)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    fig.tight_layout()
+    fig.savefig(path_png, dpi=120)
+    plt.close(fig)

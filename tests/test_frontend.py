@@ -181,3 +181,62 @@ class TestPlatformShapes:
         ff = features.extract(img, seg.segmented, cfg.features)
         assert int(ff.less_flat.mask.sum()) > 100
         assert bool(jnp.isfinite(ff.sharp.xyz).all())
+
+
+class TestPallasLabelPropagation:
+    """Interpret-mode equivalence of the fused label-propagation kernel
+    against the XLA segmented-scan path on random connectivity."""
+
+    def test_matches_xla_scan_path(self):
+        import functools
+
+        import jax
+        from jax.experimental import pallas as pl
+
+        from mloam_tpu.frontend import segmentation as S
+        from mloam_tpu.ops import pallas_labels as PL
+
+        rng = np.random.default_rng(11)
+        r, c = 16, 384
+        clusterable = jnp.asarray(rng.random((r, c)) < 0.8)
+        conn_h = jnp.zeros((r, c), bool).at[:, 1:].set(
+            clusterable[:, 1:] & clusterable[:, :-1]
+            & jnp.asarray(rng.random((r, c - 1)) < 0.7)
+        )
+        conn_v = jnp.zeros((r, c), bool).at[1:].set(
+            clusterable[1:] & clusterable[:-1]
+            & jnp.asarray(rng.random((r - 1, c)) < 0.5)
+        )
+        wrap_ok = clusterable[:, 0] & clusterable[:, -1] & jnp.asarray(
+            rng.random((r,)) < 0.5
+        )
+        labels0 = jnp.where(
+            clusterable,
+            jnp.arange(r * c, dtype=jnp.int32).reshape(r, c),
+            jnp.int32(r * c),
+        )
+
+        # XLA reference (segment()'s CPU branch), run to convergence
+        half = c // 2
+
+        def one_round(_, lab):
+            lab = S._segmented_min_scan(lab, conn_h)
+            lab_r = jnp.roll(lab, half, axis=1)
+            conn_r = jnp.roll(conn_h, half, axis=1)
+            conn_r = conn_r.at[:, half].set(wrap_ok)
+            conn_r = conn_r.at[:, 0].set(False)
+            lab = jnp.roll(S._segmented_min_scan(lab_r, conn_r), -half, 1)
+            lab = S._segmented_min_scan(lab.T, conn_v.T).T
+            return lab
+
+        want = jax.lax.fori_loop(0, 8, one_round, labels0)
+
+        orig = pl.pallas_call
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            got = PL.propagate_labels_pallas(
+                labels0, conn_h.at[:, 0].set(wrap_ok), conn_v, rounds=8
+            )
+        finally:
+            pl.pallas_call = orig
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -81,3 +81,17 @@ class TestFullPipeline:
         valid = np.asarray(pipe.mapper_state.db.valid)
         eigs = np.linalg.eigvalsh(cov[valid])
         assert (eigs > -1e-6).all()
+
+    def test_outlier_channel_stored_in_keyframes(self, run):
+        """Segmentation rejects ride into keyframes as a third feature
+        class (reference /laser_cloud_outlier)."""
+        _, _, pipe = run
+        db = pipe.mapper_state.db
+        valid = np.asarray(db.valid)
+        kf_mask = np.asarray(db.outlier.mask)[valid]
+        # at least one keyframe carries some outlier points (the synthetic
+        # world has small clusters that the segmenter drops)
+        assert kf_mask.any()
+        # stored outlier points are finite, in-range coordinates
+        xyz = np.asarray(db.outlier.xyz)[valid][kf_mask]
+        assert np.isfinite(xyz).all()

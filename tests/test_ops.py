@@ -169,23 +169,81 @@ class TestSym3x3:
 
 
 class TestPallasKNN:
-    def test_interpret_matches_xla(self):
+    """Interpret-mode checks of the bucketed Pallas k-NN against the XLA
+    path (the real-chip compile is exercised by bench/verify runs)."""
+
+    def _interp(self):
         import functools
-        import jax
         from jax.experimental import pallas as pl
-        import mloam_tpu.ops.pallas_knn as PK
 
         orig = pl.pallas_call
         pl.pallas_call = functools.partial(orig, interpret=True)
+        return pl, orig
+
+    def test_1nn_exact_matches_xla(self):
+        import jax
+        import mloam_tpu.ops.pallas_knn as PK
+
+        pl, orig = self._interp()
         try:
             q = jax.random.normal(jax.random.PRNGKey(0), (700, 3)) * 5
             r = jax.random.normal(jax.random.PRNGKey(1), (3000, 3)) * 5
             mask = jnp.arange(3000) < 2500
-            d, i = PK.nearest_pallas(q, r, mask)
+            d, i = PK.knn_pallas(q, r, mask, 1)
             d2, i2 = knn_ops.knn(q, r, mask, 1)
             np.testing.assert_allclose(
-                np.asarray(d), np.asarray(d2[:, 0]), atol=1e-3
+                np.asarray(d[:, 0]), np.asarray(d2[:, 0]), atol=1e-3
             )
-            assert float((i == i2[:, 0]).mean()) == 1.0
+            assert float((i[:, 0] == i2[:, 0]).mean()) == 1.0
+        finally:
+            pl.pallas_call = orig
+
+    def test_knn_recall_on_clustered_points(self):
+        """Voxel-sorted map layout: spatially adjacent points adjacent in
+        storage — the case the interleaved buckets are designed for."""
+        import jax
+        import mloam_tpu.ops.pallas_knn as PK
+
+        pl, orig = self._interp()
+        try:
+            rng = np.random.default_rng(3)
+            # clustered reference, sorted by position (voxel-pack order)
+            r = rng.uniform(-40, 40, (5000, 3)).astype(np.float32)
+            order = np.lexsort((r[:, 2] // 0.5, r[:, 1] // 0.5, r[:, 0] // 0.5))
+            r = jnp.asarray(r[order])
+            q = jnp.asarray(rng.uniform(-40, 40, (512, 3)).astype(np.float32))
+            mask = jnp.ones((5000,), bool)
+            k = 5
+            d, i = PK.knn_pallas(q, r, mask, k)
+            d_x, i_x = jax.lax.top_k(
+                -jnp.sum((q[:, None] - r[None]) ** 2, -1), k
+            )
+            # sorted ascending, nearest exact, high recall of the true set
+            assert bool(jnp.all(d[:, 1:] >= d[:, :-1] - 1e-5))
+            assert float((i[:, 0] == i_x[:, 0]).mean()) > 0.999
+            true_sets = np.asarray(i_x)
+            got = np.asarray(i)
+            recall = np.mean([
+                len(set(got[n]) & set(true_sets[n])) / k
+                for n in range(got.shape[0])
+            ])
+            assert recall > 0.9, recall
+        finally:
+            pl.pallas_call = orig
+
+    def test_mask_contract(self):
+        import mloam_tpu.ops.pallas_knn as PK
+
+        pl, orig = self._interp()
+        try:
+            rng = np.random.default_rng(5)
+            r = jnp.asarray(rng.uniform(-10, 10, (2500, 3)).astype(np.float32))
+            q = jnp.asarray(rng.uniform(-10, 10, (300, 3)).astype(np.float32))
+            mask = jnp.arange(2500) < 40  # almost everything masked
+            d, i = PK.knn_pallas(q, r, mask, 5)
+            i_np, d_np = np.asarray(i), np.asarray(d)
+            finite = d_np < 1e29
+            assert np.all(i_np[finite] < 40)
+            assert np.all((i_np >= 0) & (i_np < 2500))
         finally:
             pl.pallas_call = orig
