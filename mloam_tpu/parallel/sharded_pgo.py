@@ -135,6 +135,112 @@ def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
     return Pose(new.q, new.t), cost
 
 
+def _linearize_sparse(poses: Pose, edges: PoseGraphEdges):
+    """Per-edge residuals + Jacobians, kept in block form (no dense H)."""
+    def per_edge(ei, ej, zq, zt, w):
+        Ti = Pose(poses.q[ei], poses.t[ei])
+        Tj = Pose(poses.q[ej], poses.t[ej])
+
+        def res(xi):
+            return edge_residual(
+                se3.boxplus(Ti, xi[:6]), se3.boxplus(Tj, xi[6:]), zq, zt, w
+            )
+
+        r = res(jnp.zeros(12))
+        J = jax.jacfwd(res)(jnp.zeros(12))  # [6, 12]
+        return r, J
+
+    return jax.vmap(per_edge)(edges.i, edges.j, edges.z_q, edges.z_t,
+                              edges.weight)
+
+
+def pgo_step_cg(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
+                anchor_w: float = 1e3, lm_lambda: float = 1e-3,
+                cg_iters: int = 32,
+                axis_name: str | tuple[str, ...] | None = None,
+                dof4: bool = False):
+    """One damped GN step solved matrix-free: block-sparse normal equations
+    via preconditioned conjugate gradients.
+
+    The dense path materializes H [N·6, N·6] — 37 MB and an O((N·6)³)
+    Cholesky at the 512-keyframe cap, growing quadratically. Here H only
+    ever appears as the operator
+        H v = Σ_e Jᵉᵀ (Jᵉ v|_e) + λ diag + anchor,
+    i.e. per-edge gather → [E,12] small matvec → scatter-add, with a
+    block-Jacobi (6×6 per pose) preconditioner. Scales to 10k+ keyframes
+    and shards over edges exactly like the dense path (partial Hv / g /
+    diag are psum-reduced; v and the CG scalars stay replicated).
+    """
+    n = poses.q.shape[0]
+    r, J = _linearize_sparse(poses, edges)
+    Ji, Jj = J[:, :, :6], J[:, :, 6:]
+
+    def reduce_(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    # gradient g = Jᵀ r and 6x6 diagonal blocks (for damping + precond)
+    g = jnp.zeros((n, 6))
+    g = g.at[edges.i].add(jnp.einsum("eai,ea->ei", Ji, r))
+    g = g.at[edges.j].add(jnp.einsum("eai,ea->ei", Jj, r))
+    diag = jnp.zeros((n, 6, 6))
+    diag = diag.at[edges.i].add(jnp.einsum("eai,eaj->eij", Ji, Ji))
+    diag = diag.at[edges.j].add(jnp.einsum("eai,eaj->eij", Jj, Jj))
+    g = reduce_(g)
+    diag = reduce_(diag)
+    cost = reduce_(0.5 * jnp.sum(r * r))
+
+    eye6 = jnp.eye(6)
+    anchor = anchor_w * jax.nn.one_hot(anchor_idx, n)[:, None, None] * eye6
+    d_damp = (
+        diag
+        + anchor
+        + lm_lambda * (diag * eye6 + 1e-3 * eye6)  # Marquardt diag scaling
+    )
+    # block-Jacobi preconditioner: full damped 6x6 diagonal blocks
+    # (replicated; diag already psum-reduced)
+    M_inv = jnp.linalg.inv(d_damp + 1e-6 * eye6[None])
+
+    def hv(v):  # [N, 6] -> [N, 6]
+        vi = v[edges.i]
+        vj = v[edges.j]
+        jv = jnp.einsum("eai,ei->ea", Ji, vi) + jnp.einsum(
+            "eai,ei->ea", Jj, vj
+        )
+        out = jnp.zeros((n, 6))
+        out = out.at[edges.i].add(jnp.einsum("eai,ea->ei", Ji, jv))
+        out = out.at[edges.j].add(jnp.einsum("eai,ea->ei", Jj, jv))
+        out = reduce_(out)
+        # damping + anchor act on the replicated full vector (added AFTER
+        # the psum so they are counted once, not once per shard)
+        out = out + jnp.einsum("nij,nj->ni", d_damp - diag, v)
+        return out
+
+    b = -g
+
+    def cg_body(_, carry):
+        x, res_, p, rz = carry
+        hp = hv(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-20)
+        x = x + alpha * p
+        res_ = res_ - alpha * hp
+        z = jnp.einsum("nij,nj->ni", M_inv, res_)
+        rz_new = jnp.sum(res_ * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        return x, res_, z + beta * p, rz_new
+
+    x0 = jnp.zeros((n, 6))
+    z0 = jnp.einsum("nij,nj->ni", M_inv, b)
+    init = (x0, b, z0, jnp.sum(b * z0))
+    dx, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
+    if dof4:
+        dx = dx * jnp.array([1.0, 1, 1, 0, 0, 1])[None, :]
+
+    new = jax.vmap(lambda q, t, d: se3.boxplus(Pose(q, t), d))(
+        poses.q, poses.t, dx
+    )
+    return Pose(new.q, new.t), cost
+
+
 def optimize_pose_graph(
     poses: Pose,
     edges: PoseGraphEdges,
@@ -142,16 +248,40 @@ def optimize_pose_graph(
     anchor_idx: int = 0,
     mesh: Mesh | None = None,
     dof4: bool = False,
+    solver: str = "auto",
+    cg_iters: int = 32,
 ):
     """Full PGO: ``iters`` damped GN steps. With a mesh, edges are sharded
     over ALL mesh axes and the normal-equation reduction is a psum across
     them — on a 1-D mesh that's an ICI reduce; on a 2-D
     (host, factor) mesh (mesh.make_multihost_mesh) XLA reduces within each
-    host over ICI first, then once across hosts over DCN."""
+    host over ICI first, then once across hosts over DCN.
+
+    ``solver``: 'dense' (materialized H + Cholesky), 'cg' (matrix-free
+    block-sparse PCG, pgo_step_cg), or 'auto' (cg beyond 128 poses —
+    the dense Hessian grows as (N·6)²)."""
+    n = poses.q.shape[0]
+    if solver == "auto":
+        # the MXU chews through a dense (N·6)³ Cholesky up to ~512 poses
+        # (≤0.5 ms); beyond that the 37+ MB Hessian and cubic solve lose to
+        # matrix-free PCG, whose iteration count grows only linearly
+        solver = "cg" if n > 512 else "dense"
+    # information propagates ~1 pose per PCG iteration along a chain with a
+    # block-Jacobi preconditioner: iterations must scale with graph size
+    # (still O(N·E) total vs the dense path's O((6N)³) Cholesky)
+    cg_eff = max(cg_iters, n + n // 4)
+
+    def one_step(pp, e, axis_name=None):
+        if solver == "cg":
+            return pgo_step_cg(pp, e, anchor_idx=anchor_idx,
+                               cg_iters=cg_eff, axis_name=axis_name,
+                               dof4=dof4)
+        return pgo_step(pp, e, anchor_idx=anchor_idx, axis_name=axis_name,
+                        dof4=dof4)
 
     if mesh is None:
         def body(_, p):
-            p2, _ = pgo_step(p, edges, anchor_idx=anchor_idx, dof4=dof4)
+            p2, _ = one_step(p, edges)
             return p2
 
         return jax.lax.fori_loop(0, iters, body, poses)
@@ -181,8 +311,7 @@ def optimize_pose_graph(
     )
     def run(p, e_shard):
         def body(_, pp):
-            p2, _ = pgo_step(pp, e_shard, anchor_idx=anchor_idx,
-                             axis_name=axes, dof4=dof4)
+            p2, _ = one_step(pp, e_shard, axis_name=axes)
             return p2
 
         return jax.lax.fori_loop(0, iters, body, p)

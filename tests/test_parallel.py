@@ -127,3 +127,58 @@ class TestShardedMap:
         got_sorted = got_pts[np.lexsort(got_pts.T)]
         want_sorted = want_pts[np.lexsort(want_pts.T)]
         np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-4)
+
+
+class TestBlockSparseCG:
+    """Matrix-free PCG solver (pgo_step_cg) vs the dense Cholesky path."""
+
+    def test_cg_matches_dense(self):
+        poses, edges, gt = ring_graph()
+        dense = PG.optimize_pose_graph(poses, edges, iters=12,
+                                       solver="dense")
+        cg = PG.optimize_pose_graph(poses, edges, iters=12, solver="cg",
+                                    cg_iters=64)
+        np.testing.assert_allclose(np.asarray(cg.t), np.asarray(dense.t),
+                                   atol=2e-3)
+
+    def test_cg_converges_on_ring(self):
+        poses, edges, gt = ring_graph(n=48, noise=0.03, seed=5)
+        out = PG.optimize_pose_graph(poses, edges, iters=15, solver="cg")
+        dense = PG.optimize_pose_graph(poses, edges, iters=15,
+                                       solver="dense")
+        # the PCG solve must not degrade GN convergence vs dense Cholesky
+        err_cg = float(jnp.linalg.norm(out.t - gt.t, axis=1).mean())
+        err_d = float(jnp.linalg.norm(dense.t - gt.t, axis=1).mean())
+        assert err_cg < err_d * 1.2 + 1e-4  # small truncated-CG inexactness ok
+
+    def test_cg_sharded_matches_unsharded(self):
+        poses, edges, gt = ring_graph(n=32)
+        single = PG.optimize_pose_graph(poses, edges, iters=8, solver="cg")
+        mesh = M.make_mesh(4)
+        sharded = PG.optimize_pose_graph(poses, edges, iters=8, solver="cg",
+                                         mesh=mesh)
+        np.testing.assert_allclose(np.asarray(single.t),
+                                   np.asarray(sharded.t), atol=1e-3)
+
+    def test_cg_large_graph_matches_dense(self):
+        # beyond the dense path's comfortable size: 600 poses, auto -> cg.
+        # The property under test is solve fidelity (CG == Cholesky per GN
+        # step), not global convergence of a heavily-drifted ring (which
+        # is damping-limited identically for both solvers).
+        poses, edges, gt = ring_graph(n=600, noise=0.01, seed=7)
+        out = PG.optimize_pose_graph(poses, edges, iters=3)  # auto -> cg
+        dense = PG.optimize_pose_graph(poses, edges, iters=3,
+                                       solver="dense")
+        assert bool(jnp.isfinite(out.t).all())
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(dense.t),
+                                   atol=2e-3)
+
+    def test_cg_dof4_keeps_roll_pitch(self):
+        poses, edges, gt = ring_graph(noise=0.03, seed=3)
+        out = PG.optimize_pose_graph(poses, edges, iters=8, dof4=True,
+                                     solver="cg")
+        for k in (0, 5, 11):
+            rp_in = rot.so3_log(
+                rot.quat_multiply(rot.quat_conjugate(poses.q[k]), out.q[k])
+            )[:2]
+            np.testing.assert_allclose(np.asarray(rp_in), 0.0, atol=1e-5)
