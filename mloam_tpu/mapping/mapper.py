@@ -165,7 +165,9 @@ def scan_to_map(
                 key=jax.random.PRNGKey(0),
             )
 
-        def residual_fn(T: Pose):
+        def linearize_fn(T: Pose):
+            """Closed-form single-pose normal equations (the analytic
+            LidarMap{Edge,PlaneNorm}Factor Jacobians, batched)."""
             re = factors.edge_residual(se3.transform_points(T, ec.p), ec)
             we = factors.robust_weights(
                 jnp.sum(re * re, -1), ec.w, "huber", cfg.odometry.huber_delta
@@ -174,31 +176,36 @@ def scan_to_map(
             wp = factors.robust_weights(
                 rp * rp, pc.w, "huber", cfg.odometry.huber_delta
             )
-            return (
-                jnp.concatenate([re.reshape(-1), rp]),
-                jnp.concatenate([jnp.repeat(we, 3), wp]),
-            )
+            qe = jnp.broadcast_to(T.q, (ec.p.shape[0], 4))
+            qp = jnp.broadcast_to(T.q, (pc.p.shape[0], 4))
+            Je = factors.edge_point_jacobian(qe, ec)    # [N, 3, 6]
+            Jp = factors.plane_point_jacobian(qp, pc)   # [N, 6]
+            H = (jnp.einsum("nka,n,nkb->ab", Je, we, Je)
+                 + jnp.einsum("na,n,nb->ab", Jp, wp, Jp))
+            g = (jnp.einsum("nka,n,nk->a", Je, we, re)
+                 + jnp.einsum("na,n->a", Jp, wp * rp))
+            cost = 0.5 * (jnp.sum(we * jnp.sum(re * re, -1))
+                          + jnp.sum(wp * rp * rp))
+            return H, g, cost
 
         st = gauss_newton(
-            residual_fn,
+            None,
             pose,
             lambda T, dx: se3.boxplus(T, dx),
             dim=6,
             iters=mc.gn_iters,
-            remap_fn=lambda H, dx: degeneracy.remap_update(
-                H, dx, mc.eig_threshold
-            ),
+            remap_threshold=mc.eig_threshold,
+            linearize_fn=linearize_fn,
         )
         pose = st.x
         result = st
 
-    info = degeneracy.analyze_blocks(result.H, 1, mc.eig_threshold)
     vals, vecs = jnp.linalg.eigh(result.H)
     inv_vals = jnp.where(vals > 1e-6, 1.0 / jnp.maximum(vals, 1e-6), 1e6)
     cov = (vecs * inv_vals[None, :]) @ vecs.T
     return (
         pose, cov, result.cost,
-        jnp.sum(ec.w > 0), jnp.sum(pc.w > 0), info.factor[0],
+        jnp.sum(ec.w > 0), jnp.sum(pc.w > 0), result.eig0[0, 0],
     )
 
 

@@ -42,7 +42,7 @@ from mloam_tpu.frontend.features import FeatCloud
 from mloam_tpu.ops import voxel
 from mloam_tpu.solver import degeneracy, factors
 from mloam_tpu.solver.gauss_newton import gauss_newton
-from mloam_tpu.solver.marginalization import MargPrior, schur_marginalize
+from mloam_tpu.solver.marginalization import QuadPrior, schur_marginalize_quad
 
 
 class WindowState(NamedTuple):
@@ -59,7 +59,7 @@ class WindowState(NamedTuple):
     surf: FeatCloud       # [S, L, Ns] surf features
     ext: Pose              # [L] base <- lidar
     count: jnp.ndarray     # scalar int32: frames currently in window
-    prior: MargPrior
+    prior: QuadPrior
     prior_poses: Pose      # [S] linearization poses for the prior
     prior_ext: Pose        # [L] linearization extrinsics for the prior
 
@@ -86,7 +86,7 @@ def init_window(cfg: MloamConfig, cap_corner: int, cap_surf: int) -> WindowState
         surf=surf,
         ext=Pose.identity((L,)),
         count=jnp.asarray(0, jnp.int32),
-        prior=MargPrior.empty(opt_dim),
+        prior=QuadPrior.empty(opt_dim),
         prior_poses=Pose.identity((s,)),
         prior_ext=Pose.identity((L,)),
     )
@@ -104,7 +104,7 @@ def reset_prior(state: WindowState, cfg: MloamConfig,
     """Re-initialize the prior to the shape of the given mode (used at
     ESTIMATE_EXTRINSIC mode transitions)."""
     return state._replace(
-        prior=MargPrior.empty(prior_dim(cfg, calibrate_ext)),
+        prior=QuadPrior.empty(prior_dim(cfg, calibrate_ext)),
         prior_poses=state.poses,
         prior_ext=state.ext,
     )
@@ -190,7 +190,8 @@ class WindowSolveResult(NamedTuple):
 
 def optimize_window(state: WindowState, cfg: MloamConfig,
                     calibrate_ext: bool = False,
-                    lidars: tuple[int, ...] | None = None):
+                    lidars: tuple[int, ...] | None = None,
+                    analytic: bool = True):
     """Backend solve over poses pivot..newest (+ non-ref extrinsics in
     calibration mode) with prior + degeneracy remap.
 
@@ -199,6 +200,13 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
     estimates (reference PriorFactor + online-calib factors,
     estimator.cpp:670-788). ``lidars`` restricts which lidars contribute
     correspondences (calib-init phase matches the reference lidar only).
+
+    ``analytic`` (static): assemble the normal equations from closed-form
+    point Jacobians chained through a tiny pose-graph jacfwd (the TPU
+    counterpart of the reference's hand-written analytic Ceres Jacobians)
+    instead of one jacfwd over the full tangent — the point-level work drops
+    from D(=dim) forward passes to ~2 residual evaluations. False keeps the
+    autodiff path (property-tested equal).
 
     Returns (state with updated poses/ext, WindowSolveResult).
     """
@@ -320,6 +328,28 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
             qs_all, proj_s, s_map, s_mmask, oc.dist_sq_threshold
         )
 
+        def small_residual(xx):
+            """The few non-point rows: gauge anchor + calib extrinsic priors.
+
+            Gauge anchor: the factor graph is purely relative (6-dim
+            nullspace); a weak absolute prior on the pivot at its pre-solve
+            estimate pins the gauge without biasing relative geometry. The
+            calib rows are the reference's weak PriorFactor keeping
+            extrinsics near their running estimates (prior_factor.hpp:27).
+            (The marginalization prior enters the normal equations as a
+            quadratic form via gauss_newton's quad_prior — no rows here.)
+            """
+            rs = [oc.gauge_weight * se3.boxminus(opt_pose(xx, 0), pivot_init)]
+            if calibrate_ext:
+                for k in range(n_ext):
+                    l = k + 1
+                    rs.append(factors.prior_residual(
+                        ext_of(xx, l),
+                        Pose(state.prior_ext.q[l], state.prior_ext.t[l]),
+                        pos_w=1.0, rot_w=1.0,
+                    ))
+            return jnp.concatenate(rs)
+
         def residual_fn(xx):
             ec, pc = edge_corrs, plane_corrs
             (cq, ct), (sq, st_) = point_poses(xx)
@@ -329,50 +359,88 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
             )
             rp = factors.plane_residual(rot.quat_rotate(sq, pc.p) + st_, pc)
             wp = factors.robust_weights(rp * rp, pc.w, "huber", oc.huber_delta)
-            rs = [re.reshape(-1), rp]
-            ws = [jnp.repeat(we, 3), wp]
-            rprior = state.prior.residual(prior_delta(xx))
-            rs.append(rprior)
-            ws.append(jnp.ones_like(rprior))
-            # gauge anchor: the factor graph is purely relative (6-dim
-            # nullspace); a weak absolute prior on the pivot at its pre-solve
-            # estimate pins the gauge without biasing relative geometry
-            r_gauge = oc.gauge_weight * se3.boxminus(opt_pose(xx, 0), pivot_init)
-            rs.append(r_gauge)
-            ws.append(jnp.ones_like(r_gauge))
-            if calibrate_ext:
-                # weak prior keeping extrinsics near their running estimates
-                # (reference PriorFactor, prior_factor.hpp:27)
-                for k in range(n_ext):
-                    l = k + 1
-                    rs.append(factors.prior_residual(
-                        ext_of(xx, l),
-                        Pose(state.prior_ext.q[l], state.prior_ext.t[l]),
-                        pos_w=1.0, rot_w=1.0,
-                    ))
-                    ws.append(jnp.ones(6))
+            rs = [re.reshape(-1), rp, small_residual(xx)]
+            ws = [jnp.repeat(we, 3), wp, jnp.ones((rs[-1].shape[0],))]
             return jnp.concatenate(rs), jnp.concatenate(ws)
 
+        def linearize_fn(xx):
+            """Closed-form normal equations: per-point analytic Jacobians
+            w.r.t. each chain pose's right tangent (factors.{plane,edge}_
+            point_jacobian), per-chain 6x6 Gram blocks on the MXU, then the
+            chain rule through the pose graph via one *tiny* jacfwd (poses
+            only, no point data)."""
+            ec, pc = edge_corrs, plane_corrs
+            (cq, ct), (sq, st_) = point_poses(xx)
+            re = factors.edge_residual(rot.quat_rotate(cq, ec.p) + ct, ec)
+            we = factors.robust_weights(
+                jnp.sum(re * re, -1), ec.w, "huber", oc.huber_delta
+            )
+            rp = factors.plane_residual(rot.quat_rotate(sq, pc.p) + st_, pc)
+            wp = factors.robust_weights(rp * rp, pc.w, "huber", oc.huber_delta)
+            Je = factors.edge_point_jacobian(cq, ec).reshape(nq, n_c, 3, 6)
+            Jp = factors.plane_point_jacobian(sq, pc).reshape(nq, n_s, 6)
+            we_g = we.reshape(nq, n_c)
+            re_g = re.reshape(nq, n_c, 3)
+            wp_g = wp.reshape(nq, n_s)
+            rp_g = rp.reshape(nq, n_s)
+            G = (jnp.einsum("qnka,qn,qnkb->qab", Je, we_g, Je)
+                 + jnp.einsum("qna,qn,qnb->qab", Jp, wp_g, Jp))
+            bq = (jnp.einsum("qnka,qn,qnk->qa", Je, we_g, re_g)
+                  + jnp.einsum("qna,qn->qa", Jp, wp_g * rp_g))
+
+            # chain rule through the pose graph, closed form: for
+            # T = Wp⁻¹∘Wf∘E under right perturbations,
+            #   dδ_T/dδ_pivot = −Ad(T⁻¹), dδ_T/dδ_f = Ad(E⁻¹), dδ_T/dδ_E = I
+            # (X∘Exp(v) = Exp(Ad_X v)∘X conjugation identities).
+            rows = []
+            eye6 = jnp.eye(6)
+            for qi, (f, l) in enumerate(q_ids):
+                T = chain(xx, qi)
+                blk = jnp.zeros((6, dim))
+                blk = blk.at[:, 0:6].set(-se3.adjoint(se3.inverse(T)))
+                blk = blk.at[:, f * 6:(f + 1) * 6].set(
+                    se3.adjoint(se3.inverse(ext_of(xx, l))))
+                if calibrate_ext and l >= 1:
+                    base = (n_opt + l - 1) * 6
+                    blk = blk.at[:, base:base + 6].set(eye6)
+                rows.append(blk)
+            A = jnp.stack(rows)                       # [nq, 6, dim]
+            zero = jnp.zeros((dim,), jnp.float32)
+            H = jnp.einsum("qai,qab,qbj->ij", A, G, A)
+            g = jnp.einsum("qai,qa->i", A, bq)
+            rsm = small_residual(xx)
+            Jsm = jax.jacfwd(
+                lambda dx: small_residual(retract(xx, dx))
+            )(zero)
+            H = H + Jsm.T @ Jsm
+            g = g + Jsm.T @ rsm
+            cost = 0.5 * (jnp.sum(we * jnp.sum(re * re, -1))
+                          + jnp.sum(wp * rp * rp) + jnp.sum(rsm * rsm))
+            return H, g, cost
+
         st = gauss_newton(
-            residual_fn,
+            None if analytic else residual_fn,
             x,
             retract,
             dim=dim,
             iters=oc.gn_iters,
-            remap_fn=lambda H, dx: degeneracy.remap_update(H, dx, oc.eig_threshold),
+            remap_threshold=oc.eig_threshold,
+            quad_prior=(prior_delta, state.prior),
+            linearize_fn=linearize_fn if analytic else None,
         )
         x = st.x
         result = st
 
     poses, ext = x
-    info = degeneracy.analyze_blocks(result.H, n_opt + n_ext, oc.eig_threshold)
     solve = WindowSolveResult(
         H=result.H,
         g=result.g,
         cost=result.cost,
         n_corner=jnp.sum(edge_corrs.w > 0),
         n_surf=jnp.sum(plane_corrs.w > 0),
-        eig_min=info.factor,
+        # smallest per-block eigenvalue from the solve's own degeneracy
+        # projector (evalDegenracy's lambda, computed once per solve)
+        eig_min=result.eig0[:, 0],
     )
     return state._replace(poses=poses, ext=ext), solve
 
@@ -385,8 +453,7 @@ def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
     prior block."""
     O = cfg.odometry.opt_window_size
     dim = prior_dim(cfg, calibrate_ext)
-    small = schur_marginalize(solve.H, solve.g, n_drop=6)
-    k = dim - 6  # retained tangent dim
+    small = schur_marginalize_quad(solve.H, solve.g, n_drop=6)
     # retained layout after the slide: [poses 0..O-1 | ext...], new pose
     # block O is zero. Old retained layout: [poses 1..O | ext...].
     old_pose = jnp.arange(O * 6)
@@ -394,10 +461,10 @@ def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
         old_pose,                                  # poses keep order
         jnp.arange((O + 1) * 6, dim),              # ext blocks shift past the
     ]) if calibrate_ext else old_pose              # zero new-pose block
-    J = jnp.zeros((dim, dim)).at[new_idx[:, None], new_idx[None, :]].set(small.J)
-    r0 = jnp.zeros((dim,)).at[new_idx].set(small.r0)
+    Hp = jnp.zeros((dim, dim)).at[new_idx[:, None], new_idx[None, :]].set(small.H)
+    b = jnp.zeros((dim,)).at[new_idx].set(small.b)
     return state._replace(
-        prior=MargPrior(J=J, r0=r0, valid=jnp.asarray(True)),
+        prior=QuadPrior(H=Hp, b=b, valid=jnp.asarray(True)),
         prior_poses=state.poses,
         prior_ext=state.ext,
     )
@@ -407,4 +474,4 @@ def drop_prior(state: WindowState, cfg: MloamConfig) -> WindowState:
     """Discard the marginalization prior (the reference does this when
     calibration converges, estimator.cpp:1709-1732)."""
     dim = (cfg.odometry.opt_window_size + 1) * 6
-    return state._replace(prior=MargPrior.empty(dim))
+    return state._replace(prior=QuadPrior.empty(dim))

@@ -41,13 +41,34 @@ def analyze_blocks(H: jnp.ndarray, n_blocks: int, threshold: float) -> Degenerac
 def remap_update(H: jnp.ndarray, dx: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Project each 6-dof block of dx onto the non-degenerate eigendirections
     of its corresponding 6x6 diagonal block of H."""
-    d = dx.shape[0]
+    P, _ = block_projector(H, threshold)
+    return apply_block_projector(P, dx)
+
+
+def block_projector(H: jnp.ndarray, threshold: float
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-6-dof-block solution-remapping projectors from H's diagonal
+    blocks: P_i = V diag(λ >= thr) Vᵀ.
+
+    Computed ONCE per solve (the reference likewise installs the remap
+    matrix into the local parameterization once per ``optimizeMap``,
+    estimator.cpp:1598-1680) — eigh of many tiny blocks inside the GN loop
+    is a TPU latency hotspot.
+
+    Returns (P [n, 6, 6], eigvals [n, 6] ascending).
+    """
+    d = H.shape[0]
     assert d % 6 == 0
     n = d // 6
     blocks = jnp.stack([H[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6] for i in range(n)])
     vals, vecs = jnp.linalg.eigh(blocks)          # [n, 6], [n, 6, 6]
-    keep = (vals >= threshold).astype(dx.dtype)   # [n, 6]
-    dxb = dx.reshape(n, 6)
-    coef = jnp.einsum("nij,nj->ni", jnp.swapaxes(vecs, -1, -2), dxb)
-    proj = jnp.einsum("nij,nj->ni", vecs, coef * keep)
-    return proj.reshape(d)
+    keep = (vals >= threshold).astype(H.dtype)    # [n, 6]
+    P = jnp.einsum("nik,nk,njk->nij", vecs, keep, vecs)
+    return P, vals
+
+
+def apply_block_projector(P: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-block projectors [n, 6, 6] to a flat update [n*6]."""
+    n = P.shape[0]
+    proj = jnp.einsum("nij,nj->ni", P, dx.reshape(n, 6))
+    return proj.reshape(n * 6)

@@ -17,6 +17,15 @@ TPU-native design:
   * A fixed iteration count (compile-time constant, lax.fori_loop) mirrors
     the reference's hard solver budgets; LM damping is adapted
     multiplicatively on cost increase, branch-free.
+  * Degeneracy solution-remapping (``remap_threshold``) builds the per-block
+    eigenprojector ONCE from the initial Hessian — exactly the reference's
+    evalDegenracy installing a fixed remap matrix into the local
+    parameterization for the whole solve (estimator.cpp:1598-1680) — and
+    applies it to every update. Small eigendecompositions inside the GN loop
+    are a TPU latency hotspot, so once-per-solve matters.
+  * A marginalization prior enters as a quadratic form (``quad_prior``):
+    H += Hp, g += b + Hp·δ(x) — no prior residual rows, nothing extra to
+    differentiate.
 
 The returned Gauss-Newton Hessian feeds degeneracy analysis, covariance
 (H⁻¹, reference lidar_mapper_keyframe.cpp:602-618) and marginalization.
@@ -29,39 +38,65 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mloam_tpu.solver import degeneracy
+from mloam_tpu.solver.marginalization import QuadPrior
+
 # residual_fn(x) -> (r [N], w [N]); w already folds validity mask and any
 # per-residual sqrt-information. Robust reweighting happens here on top.
 ResidualFn = Callable[[Any], tuple[jnp.ndarray, jnp.ndarray]]
 RetractFn = Callable[[Any, jnp.ndarray], Any]
+# linearize_fn(x) -> (H [D,D], g [D], cost): closed-form normal equations,
+# bypassing the jacfwd in _linearize (analytic factor Jacobians).
+LinearizeFn = Callable[[Any], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+# quad_prior = (delta_fn, QuadPrior): delta_fn(x) -> [D] boxminus of the
+# optimized states against the prior's linearization points.
+QuadPriorSpec = tuple[Callable[[Any], jnp.ndarray], QuadPrior]
 
 
 class GNState(NamedTuple):
     x: Any
     cost: jnp.ndarray
     lm_lambda: jnp.ndarray
-    H: jnp.ndarray   # damped-free JᵀWJ of the *last* linearization
+    H: jnp.ndarray   # damping-free JᵀWJ (+prior) of the *last* linearization
     g: jnp.ndarray
+    eig0: jnp.ndarray  # [D/6, 6] ascending eigvals of H0's diagonal blocks
+    #                    (zeros unless remap_threshold was given)
 
 
-def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int):
-    """Build (H, g, cost) at x. One jacfwd over the flat tangent.
+def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int,
+               quad_prior: QuadPriorSpec | None = None,
+               linearize_fn: LinearizeFn | None = None):
+    """Build (H, g, cost) at x. One jacfwd over the flat tangent, or the
+    caller's closed-form ``linearize_fn`` when given.
 
     IRLS robust weights belong *inside* residual_fn (computed from the
     current residuals, under stop_gradient if derived from r): the weight w
     is taken from the evaluation at dx=0 and the Jacobian only differentiates
     the raw residual, which is exactly the IRLS linearization.
     """
-    def res_at(dx):
-        r, _ = residual_fn(retract(x, dx))
-        return r
+    if linearize_fn is not None:
+        H, g, cost = linearize_fn(x)
+    else:
+        def res_at(dx):
+            r, _ = residual_fn(retract(x, dx))
+            return r
 
-    zero = jnp.zeros((dim,), jnp.float32)
-    r, w = residual_fn(x)
-    J = jax.jacfwd(res_at)(zero)            # [N, D]
-    Jw = J * w[:, None]
-    H = J.T @ Jw                             # [D, D]
-    g = Jw.T @ r                             # [D]
-    cost = 0.5 * jnp.sum(w * r * r)
+        zero = jnp.zeros((dim,), jnp.float32)
+        r, w = residual_fn(x)
+        J = jax.jacfwd(res_at)(zero)            # [N, D]
+        Jw = J * w[:, None]
+        H = J.T @ Jw                             # [D, D]
+        g = Jw.T @ r                             # [D]
+        cost = 0.5 * jnp.sum(w * r * r)
+    if quad_prior is not None:
+        delta_fn, qp = quad_prior
+        val = qp.valid.astype(H.dtype)
+        delta = delta_fn(x)
+        Hq = qp.H * val
+        Hqd = Hq @ delta
+        H = H + Hq
+        g = g + val * qp.b + Hqd
+        cost = cost + 0.5 * delta @ Hqd + val * jnp.dot(qp.b, delta)
     return H, g, cost
 
 
@@ -91,10 +126,23 @@ def gauss_newton(
     iters: int,
     init_lambda: float = 1e-4,
     remap_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+    remap_threshold: float | None = None,
+    quad_prior: QuadPriorSpec | None = None,
+    linearize_fn: LinearizeFn | None = None,
     iteration_hook: Callable[[jnp.ndarray, GNState], GNState] | None = None,
 ) -> GNState:
-    """Run ``iters`` damped GN steps. ``remap_fn(H, dx) -> dx`` optionally
-    projects the update (degeneracy solution-remapping).
+    """Run ``iters`` damped GN steps.
+
+    ``linearize_fn(x) -> (H, g, cost)`` supplies closed-form normal
+    equations (analytic factor Jacobians) instead of the jacfwd default;
+    ``residual_fn`` may then be ``None``. The quadratic prior is applied on
+    top either way.
+
+    ``remap_threshold``: build the per-6-dof-block degeneracy projector once
+    from the initial Hessian and apply it to every update (the reference's
+    solution-remapping parameterization); block eigenvalues are returned in
+    ``GNState.eig0``. ``remap_fn(H, dx) -> dx`` is the fully general
+    per-iteration form (recomputes from the current H each step).
 
     ``iteration_hook(i, state) -> state`` is the counterpart of the
     reference's Ceres ``IterationCallback`` (StateUpdatingCovarianceCallback,
@@ -102,15 +150,24 @@ def gauss_newton(
     step — use it to update covariance-coupled quantities mid-solve or to
     emit monitoring via ``jax.debug.callback``."""
 
-    H0, g0, c0 = _linearize(residual_fn, retract, x0, dim)
-    init = GNState(x0, c0, jnp.asarray(init_lambda, jnp.float32), H0, g0)
+    H0, g0, c0 = _linearize(residual_fn, retract, x0, dim, quad_prior,
+                            linearize_fn)
+    if remap_threshold is not None:
+        P0, eig0 = degeneracy.block_projector(H0, remap_threshold)
+    else:
+        P0 = None
+        eig0 = jnp.zeros((dim // 6 if dim % 6 == 0 else 0, 6), H0.dtype)
+    init = GNState(x0, c0, jnp.asarray(init_lambda, jnp.float32), H0, g0, eig0)
 
     def body(i, st: GNState) -> GNState:
         dx = solve_normal(st.H, st.g, st.lm_lambda)
+        if P0 is not None:
+            dx = degeneracy.apply_block_projector(P0, dx)
         if remap_fn is not None:
             dx = remap_fn(st.H, dx)
         x_new = retract(st.x, dx)
-        H, g, cost = _linearize(residual_fn, retract, x_new, dim)
+        H, g, cost = _linearize(residual_fn, retract, x_new, dim, quad_prior,
+                                linearize_fn)
         accept = cost <= st.cost
         lam = jnp.where(accept, st.lm_lambda * 0.5, st.lm_lambda * 4.0)
         lam = jnp.clip(lam, 1e-5, 1e2)
@@ -124,6 +181,7 @@ def gauss_newton(
             lam,
             jax.tree.map(lambda a, b: jnp.where(accept, a, b), H, st.H),
             jax.tree.map(lambda a, b: jnp.where(accept, a, b), g, st.g),
+            st.eig0,
         )
         if iteration_hook is not None:
             st = iteration_hook(i, st)

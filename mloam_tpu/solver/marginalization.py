@@ -37,28 +37,67 @@ class MargPrior(NamedTuple):
         return jnp.where(self.valid, r, 0.0)
 
 
-def schur_marginalize(H: jnp.ndarray, g: jnp.ndarray, n_drop: int,
-                      eps: float = 1e-8) -> MargPrior:
-    """Eliminate the first ``n_drop`` tangent coordinates of (H, g).
+class QuadPrior(NamedTuple):
+    """Marginalization prior kept in quadratic (information) form.
 
-    Returns the linearized prior on the remaining coordinates. Symmetrizes
-    and pseudo-inverts the dropped block via eigh (the reference does the
-    same, marginalization_factor.cpp:292-299).
+    cost(δ) = 0.5 δᵀ H δ + bᵀ δ (+const), δ [K] = boxminus(current kept
+    states, linearization states). It contributes H to the normal equations
+    and b + Hδ to the gradient — the same first-order replay semantics as
+    the sqrt-info form (``MargPrior`` / the reference's
+    ``MarginalizationFactor::Evaluate``) without the eigendecomposition
+    needed to recover J, which is a per-frame TPU latency cost. The hot
+    odometry path uses this form; ``MargPrior`` remains for components that
+    need explicit prior residual rows.
+    """
+
+    H: jnp.ndarray    # [K, K]
+    b: jnp.ndarray    # [K]
+    valid: jnp.ndarray  # scalar bool
+
+    @staticmethod
+    def empty(k: int, dtype=jnp.float32) -> "QuadPrior":
+        return QuadPrior(jnp.zeros((k, k), dtype), jnp.zeros((k,), dtype),
+                         jnp.asarray(False))
+
+
+def _schur_core(H: jnp.ndarray, g: jnp.ndarray, n_drop: int, eps: float):
+    """Schur complement onto the retained block: (Hp, gp).
+
+    Pseudo-inverts the dropped block via eigh, as the reference does
+    (marginalization_factor.cpp:292-299).
     """
     m = n_drop
     Hmm = 0.5 * (H[:m, :m] + H[:m, :m].T)
     Hmr = H[:m, m:]
     Hrm = H[m:, :m]
     Hrr = H[m:, m:]
-    gm = g[:m]
-    gr = g[m:]
 
     vals, vecs = jnp.linalg.eigh(Hmm)
     inv_vals = jnp.where(vals > eps, 1.0 / jnp.maximum(vals, eps), 0.0)
     Hmm_inv = (vecs * inv_vals[None, :]) @ vecs.T
 
     Hp = Hrr - Hrm @ Hmm_inv @ Hmr
-    gp = gr - Hrm @ Hmm_inv @ gm
+    gp = g[m:] - Hrm @ Hmm_inv @ g[:m]
+    return Hp, gp
+
+
+def schur_marginalize_quad(H: jnp.ndarray, g: jnp.ndarray, n_drop: int,
+                           eps: float = 1e-8) -> QuadPrior:
+    """Eliminate the first ``n_drop`` tangent coordinates of (H, g) into a
+    quadratic-form prior on the remaining coordinates (one 6x6 eigh)."""
+    Hp, gp = _schur_core(H, g, n_drop, eps)
+    return QuadPrior(H=0.5 * (Hp + Hp.T), b=gp, valid=jnp.asarray(True))
+
+
+def schur_marginalize(H: jnp.ndarray, g: jnp.ndarray, n_drop: int,
+                      eps: float = 1e-8) -> MargPrior:
+    """Eliminate the first ``n_drop`` tangent coordinates of (H, g).
+
+    Returns the linearized prior on the remaining coordinates in sqrt-info
+    (residual-row) form, recovered by eigendecomposition exactly like the
+    reference (marginalization_factor.cpp:305-313).
+    """
+    Hp, gp = _schur_core(H, g, n_drop, eps)
 
     # recover sqrt-information J and r0 with Jᵀ J = Hp, Jᵀ r0 = gp
     vals2, vecs2 = jnp.linalg.eigh(0.5 * (Hp + Hp.T))

@@ -251,3 +251,65 @@ class TestScanMatching:
         q = make_feat(jnp.array([[0.0, 0.0, 0.1]]))
         corr = factors.match_map_edge(q, q.xyz, pts, jnp.ones(5, bool))
         assert corr.w[0] == 0
+
+
+class TestAnalyticPointJacobians:
+    """Closed-form point Jacobians (factors.{plane,edge}_point_jacobian) vs
+    autodiff through the same residual — these back the analytic window
+    linearization (estimator.optimize_window(analytic=True))."""
+
+    def _rand_pose(self, key):
+        xi = jax.random.uniform(key, (6,), minval=-0.5, maxval=0.5)
+        return se3.exp(xi)
+
+    def test_plane_point_jacobian(self):
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        n = 17
+        nrm = jax.random.normal(k1, (n, 3))
+        nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        corr = factors.PlaneCorr(
+            p=jax.random.uniform(k2, (n, 3), minval=-5, maxval=5),
+            s=jnp.zeros(n),
+            normal=nrm,
+            d=jax.random.normal(k3, (n,)),
+            w=jnp.ones(n),
+        )
+        T = self._rand_pose(jax.random.PRNGKey(7))
+        J = factors.plane_point_jacobian(
+            jnp.broadcast_to(T.q, (n, 4)), corr
+        )
+
+        def res(dx):
+            Td = se3.boxplus(T, dx)
+            return factors.plane_residual(
+                se3.transform_points(Td, corr.p), corr
+            )
+
+        J_ad = jax.jacfwd(res)(jnp.zeros(6))
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_edge_point_jacobian(self):
+        key = jax.random.PRNGKey(11)
+        k1, k2, k3 = jax.random.split(key, 3)
+        n = 13
+        corr = factors.EdgeCorr(
+            p=jax.random.uniform(k1, (n, 3), minval=-5, maxval=5),
+            s=jnp.zeros(n),
+            pa=jax.random.uniform(k2, (n, 3), minval=-5, maxval=5),
+            pb=jax.random.uniform(k3, (n, 3), minval=-5, maxval=5),
+            w=jnp.ones(n),
+        )
+        T = self._rand_pose(jax.random.PRNGKey(13))
+        J = factors.edge_point_jacobian(jnp.broadcast_to(T.q, (n, 4)), corr)
+
+        def res(dx):
+            Td = se3.boxplus(T, dx)
+            return factors.edge_residual(
+                se3.transform_points(Td, corr.p), corr
+            )
+
+        J_ad = jax.jacfwd(res)(jnp.zeros(6))
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad),
+                                   rtol=1e-4, atol=1e-5)

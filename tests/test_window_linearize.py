@@ -1,0 +1,160 @@
+"""Analytic window linearization (optimize_window(analytic=True)) must match
+the autodiff path exactly: same normal equations along the same solve
+trajectory, hence the same poses, Hessian, gradient, and cost.
+
+This is the window-level counterpart of the per-factor CHECK_JACOBIAN
+self-tests (reference lidar_scan_factor.hpp:64-118): the analytic path
+re-derives the reference's hand-written Ceres Jacobians in batched closed
+form, and the autodiff path is the previously-validated oracle.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mloam_tpu import config as cfg_mod
+from mloam_tpu.core import se3
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.frontend.features import FeatCloud
+from mloam_tpu.odometry import estimator as E
+
+CAP_C, CAP_S = 64, 128
+
+
+def _world_geometry(key):
+    """Corner points on vertical lines + surf points on planes."""
+    kc, ks = jax.random.split(key)
+    # 8 vertical lines on a circle of radius 8
+    ang = jnp.arange(8) / 8 * 2 * jnp.pi
+    centers = jnp.stack([8 * jnp.cos(ang), 8 * jnp.sin(ang)], -1)
+    z = jax.random.uniform(kc, (8, CAP_C // 8), minval=-2, maxval=2)
+    corner = jnp.concatenate(
+        [
+            jnp.broadcast_to(centers[:, None, :], (8, CAP_C // 8, 2)),
+            z[..., None],
+        ],
+        -1,
+    ).reshape(-1, 3)
+    # floor plane z=-1.5 and wall plane y=10
+    u = jax.random.uniform(ks, (CAP_S, 2), minval=-9, maxval=9)
+    floor = jnp.stack([u[: CAP_S // 2, 0], u[: CAP_S // 2, 1],
+                       jnp.full((CAP_S // 2,), -1.5)], -1)
+    wall = jnp.stack([u[CAP_S // 2:, 0], jnp.full((CAP_S // 2,), 10.0),
+                      u[CAP_S // 2:, 1]], -1)
+    surf = jnp.concatenate([floor, wall])
+    return corner, surf
+
+
+def _feat(xyz):
+    n = xyz.shape[0]
+    return FeatCloud(
+        xyz=xyz.astype(jnp.float32),
+        mask=jnp.ones((n,), bool),
+        time=jnp.zeros((n,), jnp.float32),
+        ring=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def _make_window(cfg, n_lidars=1, key=jax.random.PRNGKey(0)):
+    corner_w, surf_w = _world_geometry(key)
+    state = E.init_window(cfg, CAP_C, CAP_S)
+    ext = Pose.identity((n_lidars,))
+    if n_lidars > 1:
+        # second lidar offset by a small known extrinsic
+        e1 = se3.exp(jnp.array([0.3, -0.2, 0.1, 0.05, 0.0, 0.1]))
+        ext = Pose(ext.q.at[1].set(e1.q), ext.t.at[1].set(e1.t))
+    state = E.set_extrinsics(state, ext)
+    s = cfg.odometry.window_size + 1
+    kn = jax.random.split(jax.random.PRNGKey(42), s)
+    for i in range(s):
+        # forward motion with slight turn; small noise so residuals != 0
+        gt = se3.exp(
+            jnp.array([0.4 * i, 0.02 * i, 0.0, 0.0, 0.0, 0.03 * i])
+        )
+        noisy = se3.boxplus(
+            gt, 0.01 * jax.random.normal(kn[i], (6,))
+        )
+        Tinv = se3.inverse(gt)
+
+        def in_frame(pts, l):
+            Tl = se3.compose(se3.inverse(Pose(ext.q[l], ext.t[l])), Tinv)
+            return se3.transform_points(Tl, pts)
+
+        corner = jax.tree.map(
+            lambda x: jnp.stack([x] * n_lidars),
+            _feat(in_frame(corner_w, 0)),
+        )
+        surf = jax.tree.map(
+            lambda x: jnp.stack([x] * n_lidars),
+            _feat(in_frame(surf_w, 0)),
+        )
+        if n_lidars > 1:
+            corner = jax.tree.map(
+                lambda a, b: a.at[1].set(b),
+                corner, _feat(in_frame(corner_w, 1)),
+            )
+            surf = jax.tree.map(
+                lambda a, b: a.at[1].set(b),
+                surf, _feat(in_frame(surf_w, 1)),
+            )
+        state = E.push_frame(state, noisy, corner, surf, cfg)
+    return state
+
+
+def _small_cfg(n_lidars=1):
+    cfg = cfg_mod.MloamConfig()
+    odo = dataclasses.replace(
+        cfg.odometry, window_size=3, opt_window_size=2, gn_iters=2,
+        cap_frame_corner=CAP_C, cap_frame_surf=CAP_S,
+    )
+    rig = dataclasses.replace(
+        cfg.rig, models=tuple(cfg_mod.LidarModel() for _ in range(n_lidars))
+    )
+    return cfg.replace(odometry=odo, rig=rig)
+
+
+class TestAnalyticWindowLinearize:
+    def _compare(self, calibrate_ext, n_lidars):
+        cfg = _small_cfg(n_lidars)
+        state = _make_window(cfg, n_lidars)
+        if calibrate_ext:
+            state = E.reset_prior(state, cfg, calibrate_ext=True)
+        run = jax.jit(
+            E.optimize_window,
+            static_argnames=("cfg", "calibrate_ext", "analytic"),
+        )
+        st_a, solve_a = run(state, cfg=cfg, calibrate_ext=calibrate_ext,
+                            analytic=True)
+        st_b, solve_b = run(state, cfg=cfg, calibrate_ext=calibrate_ext,
+                            analytic=False)
+        assert int(solve_a.n_surf) > 30 and int(solve_a.n_corner) > 5
+        np.testing.assert_allclose(
+            np.asarray(st_a.poses.t), np.asarray(st_b.poses.t), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.poses.q), np.asarray(st_b.poses.q), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.ext.q), np.asarray(st_b.ext.q), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(solve_a.cost), np.asarray(solve_b.cost), rtol=1e-4
+        )
+        # normal equations at the final iterate
+        scale = np.abs(np.asarray(solve_b.H)).max()
+        np.testing.assert_allclose(
+            np.asarray(solve_a.H) / scale, np.asarray(solve_b.H) / scale,
+            atol=2e-4,
+        )
+        gs = max(np.abs(np.asarray(solve_b.g)).max(), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(solve_a.g) / gs, np.asarray(solve_b.g) / gs, atol=2e-3
+        )
+
+    def test_pure_odometry_single_lidar(self):
+        self._compare(calibrate_ext=False, n_lidars=1)
+
+    def test_calibration_mode_dual_lidar(self):
+        self._compare(calibrate_ext=True, n_lidars=2)
