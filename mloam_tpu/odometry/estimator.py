@@ -170,12 +170,12 @@ def build_local_map(state: WindowState, cfg: MloamConfig):
 
     c_xyz, c_mask = project(state.corner)
     s_xyz, s_mask = project(state.surf)
-    # packed single-key sort: the window local map spans well under the
-    # 1024-cell grid at these leaves
-    c_ds, c_dm, _ = voxel.voxel_downsample(
-        c_xyz, c_mask, cfg.odometry.corner_map_leaf, packed=True)
-    s_ds, s_dm, _ = voxel.voxel_downsample(
-        s_xyz, s_mask, cfg.odometry.surf_map_leaf, packed=True)
+    # fused packed single-key sort over both feature classes (the window
+    # local map spans well under the 1024-cell grid at these leaves)
+    c_ds, c_dm, s_ds, s_dm = voxel.voxel_downsample_two_class(
+        c_xyz, c_mask, cfg.odometry.corner_map_leaf,
+        s_xyz, s_mask, cfg.odometry.surf_map_leaf,
+    )
     return c_ds, c_dm, s_ds, s_dm
 
 

@@ -75,29 +75,32 @@ def knn(
             neg, idx = jax.lax.top_k(-d, k)
         return -neg, idx
 
+    # chunks are reduced in PARALLEL (batched per-chunk approx top-k, one
+    # final merge) — a serial scan over chunks puts 3-4 dependent
+    # matmul+top-k stages on the critical path of the per-sweep program,
+    # which costs more latency than the extra [nchunks, nq, k] candidates
+    # buffer (a few hundred KB) saves in VMEM.
     nchunks = (nr + chunk - 1) // chunk
     pad = nchunks * chunk - nr
     r_p = jnp.pad(r, ((0, pad), (0, 0)))
     m_p = jnp.pad(r_mask, (0, pad))
     r_c = r_p.reshape(nchunks, chunk, dim)
     m_c = m_p.reshape(nchunks, chunk)
+    center = jnp.mean(r, axis=0)
 
-    def body(carry, inputs):
-        best_d, best_i = carry
-        rc, mc, base = inputs
-        d = pairwise_sqdist(q, rc)
+    def per_chunk(rc, mc):
+        d = pairwise_sqdist(q, rc, center=center)
         d = jnp.where(mc[None, :], d, _BIG)
         neg, idx = jax.lax.approx_max_k(-d, k, recall_target=0.95)
-        cand_d = jnp.concatenate([best_d, -neg], axis=1)
-        cand_i = jnp.concatenate([best_i, idx + base], axis=1)
-        neg2, sel = jax.lax.top_k(-cand_d, k)
-        best_i = jnp.take_along_axis(cand_i, sel, axis=1)
-        return (-neg2, best_i), None
+        return -neg, idx
 
-    init = (jnp.full((nq, k), _BIG, q.dtype), jnp.zeros((nq, k), jnp.int32))
-    bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
-    (best_d, best_i), _ = jax.lax.scan(body, init, (r_c, m_c, bases))
-    return best_d, best_i
+    cd, ci = jax.vmap(per_chunk)(r_c, m_c)          # [nchunks, nq, k]
+    bases = (jnp.arange(nchunks, dtype=jnp.int32) * chunk)[:, None, None]
+    cand_d = jnp.moveaxis(cd, 0, 1).reshape(nq, nchunks * k)
+    cand_i = jnp.moveaxis(ci + bases, 0, 1).reshape(nq, nchunks * k)
+    neg2, sel = jax.lax.top_k(-cand_d, k)
+    best_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    return -neg2, best_i
 
 
 def knn_auto(q, r, r_mask, k: int, chunk: int = 4096):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -111,6 +112,59 @@ def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     out_xyz = segment_mean(xyz, red)
     out_payload = None if payload is None else segment_mean(payload, red)
     return out_xyz, red.mask, out_payload
+
+
+def voxel_downsample_two_class(
+    xyz_a: jnp.ndarray, mask_a: jnp.ndarray, leaf_a: float,
+    xyz_b: jnp.ndarray, mask_b: jnp.ndarray, leaf_b: float,
+):
+    """Fused centroid filter over two point classes with ONE sort pass.
+
+    The window local map needs corner and surf clouds filtered at different
+    leaves (reference buildLocalMap voxel-filters each feature class,
+    estimator.cpp:1194-1203); sorting them together (class in the key's high
+    bit, 10 bits/axis re-based per class) nearly halves the serial sort
+    latency of the per-sweep program. Class-a voxels sort first, so class-b
+    output is a dynamic slice at a's voxel count.
+
+    Returns (xyz_a_ds, mask_a_ds, xyz_b_ds, mask_b_ds), each input-capacity.
+    """
+    na, nb = xyz_a.shape[0], xyz_b.shape[0]
+    n = na + nb
+
+    def rel_coords(xyz, m, leaf):
+        ijk = voxel_coords(xyz, leaf)
+        base = jnp.min(jnp.where(m[:, None], ijk, 2**30), axis=0)
+        return jnp.clip(ijk - base[None], 0, 1023)
+
+    ra = rel_coords(xyz_a, mask_a, leaf_a)
+    rb = rel_coords(xyz_b, mask_b, leaf_b)
+    rel = jnp.concatenate([ra, rb])
+    cls = jnp.concatenate([
+        jnp.zeros((na,), jnp.int32), jnp.ones((nb,), jnp.int32)
+    ])
+    valid_in = jnp.concatenate([mask_a, mask_b])
+    key = (cls << 30) | (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
+    key = jnp.where(valid_in, key, jnp.int32(0x7FFFFFFF))
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    valid = valid_in[order]
+    differs = sorted_key[1:] != sorted_key[:-1]
+    head = jnp.concatenate([valid[:1], differs & valid[1:]])
+    seg_id = jnp.maximum(jnp.cumsum(head.astype(jnp.int32)) - 1, 0)
+    red = VoxelReduction(
+        jnp.sum(head.astype(jnp.int32)),
+        jnp.arange(n, dtype=jnp.int32) < jnp.sum(head.astype(jnp.int32)),
+        order, seg_id, valid,
+    )
+    out = segment_mean(jnp.concatenate([xyz_a, xyz_b]), red)
+    n_a = jnp.sum((head & (sorted_key < (1 << 30))).astype(jnp.int32))
+    n_b = red.num_voxels - n_a
+    xyz_a_ds = out[:na]
+    mask_a_ds = jnp.arange(na, dtype=jnp.int32) < n_a
+    xyz_b_ds = jax.lax.dynamic_slice(out, (n_a, 0), (nb, 3))
+    mask_b_ds = jnp.arange(nb, dtype=jnp.int32) < n_b
+    return xyz_a_ds, mask_a_ds, xyz_b_ds, mask_b_ds
 
 
 def voxel_downsample_with_cov(

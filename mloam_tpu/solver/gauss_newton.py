@@ -69,6 +69,15 @@ def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int,
     """Build (H, g, cost) at x. One jacfwd over the flat tangent, or the
     caller's closed-form ``linearize_fn`` when given.
 
+    All matmuls here run at float32 precision (the enclosing
+    ``gauss_newton`` sets ``jax.default_matmul_precision("highest")``): the
+    TPU's default bf16 MXU accumulation makes H assembly and especially the
+    downstream Schur complement (large, nearly-cancelling products) only
+    *marginally* stable — whether a run survives then depends on XLA
+    fusion/rounding choices, i.e. on unrelated program edits. Observed as
+    indefinite marginalization priors (negative total costs) and 20x ATE
+    blowups on chip; invisible on CPU.
+
     IRLS robust weights belong *inside* residual_fn (computed from the
     current residuals, under stop_gradient if derived from r): the weight w
     is taken from the evaluation at dx=0 and the Jacobian only differentiates
@@ -150,41 +159,43 @@ def gauss_newton(
     step — use it to update covariance-coupled quantities mid-solve or to
     emit monitoring via ``jax.debug.callback``."""
 
-    H0, g0, c0 = _linearize(residual_fn, retract, x0, dim, quad_prior,
-                            linearize_fn)
-    if remap_threshold is not None:
-        P0, eig0 = degeneracy.block_projector(H0, remap_threshold)
-    else:
-        P0 = None
-        eig0 = jnp.zeros((dim // 6 if dim % 6 == 0 else 0, 6), H0.dtype)
-    init = GNState(x0, c0, jnp.asarray(init_lambda, jnp.float32), H0, g0, eig0)
-
-    def body(i, st: GNState) -> GNState:
-        dx = solve_normal(st.H, st.g, st.lm_lambda)
-        if P0 is not None:
-            dx = degeneracy.apply_block_projector(P0, dx)
-        if remap_fn is not None:
-            dx = remap_fn(st.H, dx)
-        x_new = retract(st.x, dx)
-        H, g, cost = _linearize(residual_fn, retract, x_new, dim, quad_prior,
+    with jax.default_matmul_precision("highest"):
+        H0, g0, c0 = _linearize(residual_fn, retract, x0, dim, quad_prior,
                                 linearize_fn)
-        accept = cost <= st.cost
-        lam = jnp.where(accept, st.lm_lambda * 0.5, st.lm_lambda * 4.0)
-        lam = jnp.clip(lam, 1e-5, 1e2)
-        # branch-free accept/reject
-        x_out = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), x_new, st.x
-        )
-        st = GNState(
-            x_out,
-            jnp.where(accept, cost, st.cost),
-            lam,
-            jax.tree.map(lambda a, b: jnp.where(accept, a, b), H, st.H),
-            jax.tree.map(lambda a, b: jnp.where(accept, a, b), g, st.g),
-            st.eig0,
-        )
-        if iteration_hook is not None:
-            st = iteration_hook(i, st)
-        return st
+        if remap_threshold is not None:
+            P0, eig0 = degeneracy.block_projector(H0, remap_threshold)
+        else:
+            P0 = None
+            eig0 = jnp.zeros((dim // 6 if dim % 6 == 0 else 0, 6), H0.dtype)
+        init = GNState(x0, c0, jnp.asarray(init_lambda, jnp.float32), H0, g0,
+                       eig0)
 
-    return jax.lax.fori_loop(0, iters, body, init)
+        def body(i, st: GNState) -> GNState:
+            dx = solve_normal(st.H, st.g, st.lm_lambda)
+            if P0 is not None:
+                dx = degeneracy.apply_block_projector(P0, dx)
+            if remap_fn is not None:
+                dx = remap_fn(st.H, dx)
+            x_new = retract(st.x, dx)
+            H, g, cost = _linearize(residual_fn, retract, x_new, dim,
+                                    quad_prior, linearize_fn)
+            accept = cost <= st.cost
+            lam = jnp.where(accept, st.lm_lambda * 0.5, st.lm_lambda * 4.0)
+            lam = jnp.clip(lam, 1e-5, 1e2)
+            # branch-free accept/reject
+            x_out = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), x_new, st.x
+            )
+            st = GNState(
+                x_out,
+                jnp.where(accept, cost, st.cost),
+                lam,
+                jax.tree.map(lambda a, b: jnp.where(accept, a, b), H, st.H),
+                jax.tree.map(lambda a, b: jnp.where(accept, a, b), g, st.g),
+                st.eig0,
+            )
+            if iteration_hook is not None:
+                st = iteration_hook(i, st)
+            return st
+
+        return jax.lax.fori_loop(0, iters, body, init)

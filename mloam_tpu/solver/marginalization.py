@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -65,20 +66,26 @@ def _schur_core(H: jnp.ndarray, g: jnp.ndarray, n_drop: int, eps: float):
 
     Pseudo-inverts the dropped block via eigh, as the reference does
     (marginalization_factor.cpp:292-299).
+
+    float32 matmul precision is mandatory: Hrr − Hrm·Hmm⁻¹·Hmr subtracts
+    large nearly-equal products, and the TPU's default bf16 MXU accumulation
+    leaves the result indefinite often enough to blow up the prior replay
+    (observed: negative solve costs, 20x ATE regression on chip).
     """
-    m = n_drop
-    Hmm = 0.5 * (H[:m, :m] + H[:m, :m].T)
-    Hmr = H[:m, m:]
-    Hrm = H[m:, :m]
-    Hrr = H[m:, m:]
+    with jax.default_matmul_precision("highest"):
+        m = n_drop
+        Hmm = 0.5 * (H[:m, :m] + H[:m, :m].T)
+        Hmr = H[:m, m:]
+        Hrm = H[m:, :m]
+        Hrr = H[m:, m:]
 
-    vals, vecs = jnp.linalg.eigh(Hmm)
-    inv_vals = jnp.where(vals > eps, 1.0 / jnp.maximum(vals, eps), 0.0)
-    Hmm_inv = (vecs * inv_vals[None, :]) @ vecs.T
+        vals, vecs = jnp.linalg.eigh(Hmm)
+        inv_vals = jnp.where(vals > eps, 1.0 / jnp.maximum(vals, eps), 0.0)
+        Hmm_inv = (vecs * inv_vals[None, :]) @ vecs.T
 
-    Hp = Hrr - Hrm @ Hmm_inv @ Hmr
-    gp = g[m:] - Hrm @ Hmm_inv @ g[:m]
-    return Hp, gp
+        Hp = Hrr - Hrm @ Hmm_inv @ Hmr
+        gp = g[m:] - Hrm @ Hmm_inv @ g[:m]
+        return Hp, gp
 
 
 def schur_marginalize_quad(H: jnp.ndarray, g: jnp.ndarray, n_drop: int,

@@ -56,6 +56,38 @@ class TestVoxel:
         np.testing.assert_allclose(out_cov[0], want_cov, atol=1e-6)
 
 
+    def test_two_class_matches_separate(self):
+        key = jax.random.PRNGKey(5)
+        ka, kb = jax.random.split(key)
+        xa = jax.random.uniform(ka, (300, 3), minval=-20, maxval=20)
+        xb = jax.random.uniform(kb, (500, 3), minval=-20, maxval=20)
+        ma = jnp.arange(300) < 250
+        mb = jnp.arange(500) < 430
+        a_ds, a_m, b_ds, b_m = voxel.voxel_downsample_two_class(
+            xa, ma, 0.5, xb, mb, 1.0
+        )
+        ra, rma, _ = voxel.voxel_downsample(xa, ma, 0.5, packed=True)
+        rb, rmb, _ = voxel.voxel_downsample(xb, mb, 1.0, packed=True)
+        assert int(a_m.sum()) == int(rma.sum())
+        assert int(b_m.sum()) == int(rmb.sum())
+        np.testing.assert_allclose(
+            np.sort(np.asarray(a_ds[a_m]), 0), np.sort(np.asarray(ra[rma]), 0),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(b_ds[b_m]), 0), np.sort(np.asarray(rb[rmb]), 0),
+            atol=1e-5,
+        )
+
+    def test_two_class_all_invalid_class(self):
+        xa = jnp.zeros((8, 3))
+        xb = jnp.ones((8, 3))
+        a_ds, a_m, b_ds, b_m = voxel.voxel_downsample_two_class(
+            xa, jnp.zeros(8, bool), 0.5, xb, jnp.ones(8, bool), 0.5
+        )
+        assert int(a_m.sum()) == 0 and int(b_m.sum()) == 1
+
+
 class TestKNN:
     def test_matches_bruteforce(self):
         kq, kr = jax.random.split(jax.random.PRNGKey(1))
