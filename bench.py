@@ -42,10 +42,15 @@ def main():
     cfg = platforms.synthetic(n_lidars=1)
     imgs, gt_poses = render(cfg, N_FRAMES)
     imgs = jax.tree.map(lambda x: np.asarray(x), imgs)  # host-side frames
-    # disjoint second sequence for the throughput pass: guards against any
-    # server-side re-execution caching of identical submissions
-    imgs2, gt_poses2 = render(cfg, N_FRAMES, seed=7)
-    imgs2 = jax.tree.map(lambda x: np.asarray(x), imgs2)
+    # disjoint sequences for the throughput passes: guards against any
+    # server-side re-execution caching of identical submissions. Several
+    # passes with a median reduce the large run-to-run drift of the shared
+    # tunnel (observed 2x swings between back-to-back runs of identical
+    # code).
+    tp_seqs = []
+    for seed in (7, 11, 13):
+        im, gt2 = render(cfg, N_FRAMES, seed=seed)
+        tp_seqs.append((jax.tree.map(lambda x: np.asarray(x), im), gt2))
     pipe = OdometryPipeline(cfg)
 
     # warm the tunnel's device->host path outside the timed loop (the axon
@@ -65,26 +70,31 @@ def main():
     # pass 2 — throughput: pipelined submission (frames chain on device;
     # the host never blocks mid-sequence — the deployment pattern for a
     # 10 Hz sensor stream). Same pipeline instance: compiled programs reused.
-    pipe.reset()
-    est_t = []
-    t0 = time.perf_counter()
-    for i in range(N_FRAMES):
-        img = RangeImage(*[jnp.asarray(x[i]) for x in imgs2])
-        out = pipe.process([img])
-        est_t.append(out.pose.t)
-    jax.block_until_ready(out.pose)
-    wall = time.perf_counter() - t0
-    fps = N_FRAMES / wall
-
-    ate = evaluation.ate_rmse(
-        np.asarray(jnp.stack(est_t)), np.asarray(gt_poses2.t[:N_FRAMES])
-    )
+    fps_passes = []
+    ate = None
+    for imgs2, gt_poses2 in tp_seqs:
+        pipe.reset()
+        est_t = []
+        t0 = time.perf_counter()
+        for i in range(N_FRAMES):
+            img = RangeImage(*[jnp.asarray(x[i]) for x in imgs2])
+            out = pipe.process([img])
+            est_t.append(out.pose.t)
+        jax.block_until_ready(out.pose)
+        wall = time.perf_counter() - t0
+        fps_passes.append(N_FRAMES / wall)
+        a = evaluation.ate_rmse(
+            np.asarray(jnp.stack(est_t)), np.asarray(gt_poses2.t[:N_FRAMES])
+        )
+        ate = a if ate is None else max(ate, a)
+    fps = float(np.median(fps_passes))
 
     platform = jax.devices()[0].platform
     print(
         f"# platform={platform} frames={N_FRAMES} "
         f"p50={np.median(steady)*1e3:.1f}ms p95={np.percentile(steady,95)*1e3:.1f}ms "
-        f"ate={ate*100:.2f}cm",
+        f"ate={ate*100:.2f}cm "
+        f"fps_passes={[round(f, 1) for f in fps_passes]}",
         file=sys.stderr,
     )
     print(json.dumps({

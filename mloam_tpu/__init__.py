@@ -23,4 +23,17 @@ Layer map (bottom-up):
   utils/     timing registry, TUM trajectory I/O, ATE/RPE evaluation
 """
 
+import jax as _jax
+
+# SLAM geometry gives bf16 matmuls nothing: every matrix product here is
+# either numerically critical (normal equations, Schur complements, plane/
+# line fits whose outputs steer the solver) or too small to win MXU
+# throughput from reduced precision. At the TPU default (bf16 accumulation)
+# the Schur-complement marginalization is only *marginally* stable — runs
+# flip between cm-level and 20x-worse ATE depending on unrelated XLA fusion
+# choices. Float32 matmuls are therefore the framework default; the one
+# genuinely MXU-heavy product (kNN distance expansion, ops/knn.py) pins
+# HIGHEST explicitly regardless.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"
