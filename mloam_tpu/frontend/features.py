@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from mloam_tpu.config import FeatureConfig
 from mloam_tpu.core.rangeimage import RangeImage
-from mloam_tpu.ops import voxel
+from mloam_tpu.ops import select, voxel
 
 
 class FeatCloud(NamedTuple):
@@ -161,11 +161,25 @@ def _stride_to_cap(xyz, mask, payload, cap: int):
     return xyz[sel], out_mask, payload[sel]
 
 
-def downsample_featcloud(f: FeatCloud, leaf: float, cap: int) -> FeatCloud:
+def downsample_featcloud(f: FeatCloud, leaf: float, cap: int,
+                         precap: int | None = None) -> FeatCloud:
     """Voxel-downsample a feature cloud to a fixed capacity (used when
-    pushing sweeps into window/map stacks, reference estimator.cpp:485-496)."""
+    pushing sweeps into window/map stacks, reference estimator.cpp:485-496).
+
+    ``precap``: sort-free compaction bound applied BEFORE the voxel sort —
+    for full-range-image inputs (~29k rows, outlier channel) the argsort
+    inside the voxel filter dominates frontend latency; compacting the few
+    valid rows first shrinks the sort by ~7x. Identical output whenever the
+    valid count fits precap (the normal case); an even-stride subsample
+    feeds the filter otherwise.
+    """
+    xyz, mask = f.xyz, f.mask
     payload = jnp.stack([f.time, f.ring.astype(f.time.dtype)], -1)
-    ds_xyz, ds_mask, ds_payload = voxel.voxel_downsample(f.xyz, f.mask, leaf, payload, packed=True)
+    if precap is not None and precap < xyz.shape[0]:
+        packed_pts = jnp.concatenate([xyz, payload], -1)
+        packed_pts, mask = select.compact_stride(packed_pts, mask, precap)
+        xyz, payload = packed_pts[:, :3], packed_pts[:, 3:]
+    ds_xyz, ds_mask, ds_payload = voxel.voxel_downsample(xyz, mask, leaf, payload, packed=True)
     xyz, mask, pl = _stride_to_cap(ds_xyz, ds_mask, ds_payload, cap)
     return FeatCloud(
         xyz=jnp.where(mask[:, None], xyz, 0.0),
@@ -195,15 +209,24 @@ def extract(img: RangeImage, segmented: jnp.ndarray,
     )
     flat = _pick_per_sector(img, curv, flat_elig, cfg.n_sectors, cfg.max_flat, False)
 
-    # less-flat: every surf candidate, voxel-downsampled to a fixed capacity
+    # less-flat: every surf candidate, voxel-downsampled to a fixed capacity.
+    # Sort-free compaction first: the voxel argsort over the full range image
+    # (~29k rows) is the single most expensive frontend op; bounding it to
+    # 2*cap keeps the filter exact in the typical case (valid count < bound)
+    # and near-uniform otherwise.
     r, c = curv.shape
     xyz = img.xyz.reshape(-1, 3)
     mask = surf_cand.reshape(-1)
     time = img.time.reshape(-1)
     ring = jnp.broadcast_to(jnp.arange(r)[:, None], (r, c)).reshape(-1)
     payload = jnp.stack([time, ring.astype(img.time.dtype)], -1)
+    packed_pts = jnp.concatenate([xyz, payload], -1)
+    packed_pts, pre_mask = select.compact_stride(
+        packed_pts, mask, 2 * cfg.cap_less_flat
+    )
     ds_xyz, ds_mask, ds_payload = voxel.voxel_downsample(
-        xyz, mask, cfg.less_flat_leaf, payload, packed=True
+        packed_pts[:, :3], pre_mask, cfg.less_flat_leaf, packed_pts[:, 3:],
+        packed=True,
     )
     # reduce to capacity: identity when it fits, else an even stride over the
     # compacted voxels (avoids the spatial bias a plain truncation would have,

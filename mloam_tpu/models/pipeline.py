@@ -186,6 +186,7 @@ class OdometryPipeline:
         outlier = downsample_featcloud(
             out_fc, self.cfg.mapping.outlier_leaf,
             self.cfg.mapping.cap_frame_outlier,
+            precap=2 * self.cfg.mapping.cap_frame_outlier,
         )
         return ff, corner, surf, outlier
 

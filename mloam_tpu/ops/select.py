@@ -30,6 +30,30 @@ def masked_bottom_k(scores: jnp.ndarray, mask: jnp.ndarray, k: int):
     return -vals, idx, valid
 
 
+def compact_stride(values: jnp.ndarray, mask: jnp.ndarray, cap: int,
+                   fill=0.0):
+    """[N, ...] -> ([cap, ...], mask [cap]) without any sort.
+
+    Valid rows are scattered to the front by their cumsum rank (stable), and
+    when more than ``cap`` are valid an even stride over the compacted rows
+    is taken. Replaces sort-based compaction on latency-critical paths: a
+    full-range-image argsort (~29k rows) is ~200 serial bitonic stages,
+    while cumsum+scatter is O(log n) depth.
+    """
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, rank, n)  # out-of-bounds rows are dropped
+    buf = jnp.full((n,) + values.shape[1:], fill, values.dtype)
+    buf = buf.at[dest].set(values, mode="drop")
+    num = jnp.sum(mask.astype(jnp.int32))
+    ar = jnp.arange(cap, dtype=jnp.int32)
+    strided = jnp.floor(ar.astype(jnp.float32) * num / cap).astype(jnp.int32)
+    sel = jnp.where(num <= cap, ar, strided)
+    out_mask = ar < jnp.minimum(num, cap)
+    shape = (cap,) + (1,) * (values.ndim - 1)
+    return jnp.where(out_mask.reshape(shape), buf[sel], fill), out_mask
+
+
 def compact_by_mask(values: jnp.ndarray, mask: jnp.ndarray, fill=0.0):
     """Stable-compact masked rows to the front; returns (values, new_mask).
 

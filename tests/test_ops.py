@@ -128,6 +128,32 @@ class TestSelect:
         assert list(out[:3, 0]) == [1.0, 3.0, 4.0]
         assert nm[:3].all() and not nm[3:].any()
 
+    def test_compact_stride_under_cap(self):
+        # fits the cap: identical to stable compaction, padded with fill
+        v = jnp.arange(8, dtype=jnp.float32)[:, None]
+        m = jnp.array([False, True, False, True, True, False, True, False])
+        out, nm = select.compact_stride(v, m, cap=6)
+        assert list(out[:4, 0]) == [1.0, 3.0, 4.0, 6.0]
+        assert list(nm) == [True] * 4 + [False] * 2
+        assert (out[4:] == 0.0).all()
+
+    def test_compact_stride_over_cap(self):
+        # more valid rows than cap: even stride over the compacted order
+        n, cap = 100, 10
+        v = jnp.arange(n, dtype=jnp.float32)[:, None]
+        m = jnp.ones((n,), bool)
+        out, nm = select.compact_stride(v, m, cap=cap)
+        assert nm.all()
+        np.testing.assert_allclose(
+            out[:, 0], np.floor(np.arange(cap) * n / cap)
+        )
+
+    def test_compact_stride_empty(self):
+        v = jnp.ones((5, 2))
+        m = jnp.zeros((5,), bool)
+        out, nm = select.compact_stride(v, m, cap=3)
+        assert not nm.any() and (out == 0).all()
+
 
 class TestRangeImage:
     def test_project_roundtrip(self):
