@@ -51,12 +51,23 @@ class FeatureConfig:
 class TrackerConfig:
     """Scan-to-scan odometry (reference lidar_tracker.cpp)."""
 
-    outer_iters: int = 2
+    # one correspondence round (the reference runs 2, lidar_tracker.cpp:44;
+    # our constant-velocity warm start makes the rebuild redundant —
+    # ATE-neutral on gentle and aggressive motion, demos/ate_variants.py)
+    outer_iters: int = 1
     gn_iters: int = 3
     huber_delta: float = 0.1
     dist_sq_threshold: float = 25.0
     nearby_scan: float = 2.5
     deskew: bool = True
+    # Steady-state fast path: skip the scan-to-scan solve once the window is
+    # warm and use the constant-velocity prediction directly; the window GN
+    # (scan-to-local-map, a strictly richer problem) refines the pose, and
+    # the next prediction is read back off the refined window. The tracker
+    # still runs during warm-up and whenever calibration needs per-lidar
+    # motions (the reference's tracker also exists mainly to seed the
+    # backend, estimator.cpp:423-430).
+    skip_steady: bool = False
 
 
 @dataclass(frozen=True)
@@ -65,7 +76,10 @@ class OdometryConfig:
 
     window_size: int = 6
     opt_window_size: int = 3
-    gn_iters: int = 4
+    # ATE-validated budget trims (demos/ate_variants.py: gentle + aggressive
+    # synthetic motion, 2 seeds): 5->4 then 4->3 both ATE-neutral; the warm
+    # start from the previous marginalized window does most of the work
+    gn_iters: int = 3
     # one correspondence round suffices: unlike the reference (Ceres starts
     # cold each frame, hence 2 rebuild rounds), the window is warm-started
     # from the previous marginalization; verified ATE-neutral on gentle and
@@ -82,6 +96,13 @@ class OdometryConfig:
     # per-frame feature capacities inside the window stacks
     cap_frame_corner: int = 1024
     cap_frame_surf: int = 2048
+    # sort-free compaction bounds (per lidar) applied to the stacked window
+    # clouds BEFORE the local-map voxel sort — the argsort over
+    # (window_size)*(cap_frame_*) rows is the single most expensive op of the
+    # window step; the stacks are typically sparse (masked). Exact whenever
+    # the valid count fits; even-stride subsample otherwise. None disables.
+    localmap_precap_corner: int | None = 2048
+    localmap_precap_surf: int | None = 10240
 
 
 @dataclass(frozen=True)

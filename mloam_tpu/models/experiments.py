@@ -225,10 +225,86 @@ def scaling_test(args):
         json.dump({str(k): v for k, v in results.items()}, f, indent=2)
 
 
+def slam_test(args):
+    """Full-system run (odometry + mapping + loop closure) exporting every
+    observability artifact the reference publishes via rviz/disk: TUM
+    trajectory, trajectory plot, keyframe map (PCD + PNG), pose-graph plot
+    with loop edges, the last scan-context descriptor image, timing report
+    (SURVEY §5.5)."""
+    from mloam_tpu.models.pipeline import SlamPipeline
+    from mloam_tpu.utils import viz
+
+    cfg = platforms.synthetic(n_lidars=args.lidars)
+    cfg = dataclasses.replace(
+        cfg,
+        mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.05,
+                                    keyframe_angle_deg=0.5),
+        loop=dataclasses.replace(cfg.loop, skip_interval=2,
+                                 num_exclude_recent=3),
+    )
+    w = W.make_world(jax.random.PRNGKey(args.seed))
+    traj = W.make_trajectory(jax.random.PRNGKey(args.seed + 1), wobble=0.05)
+    model = cfg.rig.models[0]
+    imgs, gt_poses = W.render_sequence(w, traj, model, args.frames)
+    pipe = SlamPipeline(cfg)
+    est_t, est_q, ts = [], [], []
+    for i in range(args.frames):
+        img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+        with timing.timer("odom_process"):
+            out = pipe.process([img])
+            jax.block_until_ready(out.full.map_pose)
+        est_t.append(np.asarray(out.full.map_pose.t))
+        est_q.append(np.asarray(out.full.map_pose.q))
+        ts.append(i * model.scan_period)
+    est_t, est_q = np.stack(est_t), np.stack(est_q)
+    gt_t = np.asarray(gt_poses.t[: args.frames])
+    ate = evaluation.ate_rmse(est_t, gt_t)
+
+    d = _outdir("slam")
+    evaluation.save_tum(os.path.join(d, "traj_est.tum"),
+                        np.asarray(ts), est_t, est_q)
+    viz.plot_trajectory(os.path.join(d, "trajectory.png"), est_t, gt_t,
+                        title=f"slam seed={args.seed}")
+    # keyframe map: project stored base-frame features through keyframe poses
+    db = pipe.full.mapper_state.db
+    n_kf = int(jax.device_get(db.head))
+    if n_kf > 0:
+        pts, msk = [], []
+        for k in range(n_kf):
+            P = Pose(db.poses.q[k], db.poses.t[k])
+            pts.append(np.asarray(se3.transform_points(P, db.surf.xyz[k])))
+            msk.append(np.asarray(db.surf.mask[k]))
+        xyz = np.concatenate(pts)
+        mask = np.concatenate(msk)
+        viz.export_map_pcd(os.path.join(d, "map.pcd"), xyz, mask)
+        viz.plot_map(os.path.join(d, "map.png"), xyz, mask, traj_t=est_t)
+    # pose graph + scan context
+    n = int(jax.device_get(pipe.loop_state.count))
+    if n > 0:
+        kf_t = np.asarray(pipe.loop_state.poses.t[:n])
+        li = np.asarray(pipe.loop_state.loop_i)
+        lj = np.asarray(pipe.loop_state.loop_j)
+        lv = np.asarray(pipe.loop_state.loop_valid)
+        loop_edges = [(int(a), int(b)) for a, b, v in zip(li, lj, lv) if v]
+        viz.plot_pose_graph(os.path.join(d, "pose_graph.png"), kf_t,
+                            loop_edges)
+        viz.plot_scan_context(
+            os.path.join(d, "scan_context.png"),
+            np.asarray(pipe.loop_state.sc_db.desc[n - 1]),
+        )
+    summary = {"ate_m": float(ate), "frames": args.frames,
+               "keyframes": n_kf, "loops": pipe.n_loops,
+               "timing": timing.all_stats()}
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"ate_m": float(ate), "keyframes": n_kf,
+                      "loops": pipe.n_loops}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="program", required=True)
-    for name in ("single", "mc", "inject_ext", "scaling"):
+    for name in ("single", "mc", "inject_ext", "scaling", "slam"):
         p = sub.add_parser(name)
         p.add_argument("--frames", type=int, default=30)
         p.add_argument("--seed", type=int, default=0)
@@ -239,7 +315,7 @@ def main():
             p.add_argument("--poses", type=int, default=256)
     args = ap.parse_args()
     {"single": single_test, "mc": mc_test, "inject_ext": inject_ext_test,
-     "scaling": scaling_test}[args.program](args)
+     "scaling": scaling_test, "slam": slam_test}[args.program](args)
 
 
 if __name__ == "__main__":

@@ -122,6 +122,10 @@ class OdometryPipeline:
             jax.jit(self._fused_step_impl, donate_argnums=(0,))
             if L == 1 else None
         )
+        self._fused_multi = (
+            jax.jit(self._fused_multi_impl, donate_argnums=(0,))
+            if L > 1 else None
+        )
         self._add_pair = jax.jit(
             functools.partial(
                 I.add_pair,
@@ -252,12 +256,66 @@ class OdometryPipeline:
         so collapsing the 6-call chain is the difference between ~34 and
         ~100+ frames/s."""
         ff, corner, surf, outlier = self._frontend_impl(img, 0)
+        if self.cfg.tracker.skip_steady:
+            # constant-velocity prediction seeds the window directly; the
+            # scan-to-local-map GN below refines it against a map far richer
+            # than the previous sweep, and the next prediction is the
+            # refined inter-frame motion read back off the window.
+            if self.cfg.tracker.deskew:
+                desk = FeatureFrame(
+                    *[TR.deskew_features(motion0, f) for f in ff]
+                )
+            else:
+                desk = ff
+            window, solve, pred, refined = self._window_step_impl(
+                window, world_pose, motion0, (motion0,), (corner,), (surf,),
+                mode2=False, calibrate_ext=False, lidars=(0,),
+            )
+            prev_refined = Pose(window.poses.q[-2], window.poses.t[-2])
+            motion = se3.compose(se3.inverse(prev_refined), refined)
+            return window, refined, motion, desk, pred, solve, outlier
         res, desk = TR.track(prev_feat0, ff, motion0, self.cfg.tracker)
         window, solve, pred, refined = self._window_step_impl(
             window, world_pose, res.pose, (res.pose,), (corner,), (surf,),
             mode2=False, calibrate_ext=False, lidars=(0,),
         )
         return window, refined, res.pose, desk, pred, solve, outlier
+
+    def _fused_multi_impl(self, window, world_pose, motion0, prev_feat0,
+                          imgs):
+        """Fused whole-sweep program for the steady MULTI-lidar
+        pure-odometry phase (ESTIMATE_EXTRINSIC==0): all frontends, the
+        reference-lidar tracker, de-skew of every lidar through its
+        extrinsic, window solve over all lidars' correspondences, and
+        marginalization in one dispatch (the reference's post-calibration
+        path, estimator.cpp:789-848, minus the ROS hops)."""
+        L = self.cfg.rig.n_lidars
+        corners, surfs, outliers = [], [], []
+        ff0 = None
+        for l in range(L):
+            ff, c, s, o = self._frontend_impl(imgs[l], l)
+            if l == 0:
+                ff0 = ff
+            corners.append(c)
+            surfs.append(s)
+            outliers.append(o)
+        if self.cfg.tracker.skip_steady:
+            motion = motion0
+            desk = (FeatureFrame(
+                *[TR.deskew_features(motion0, f) for f in ff0]
+            ) if self.cfg.tracker.deskew else ff0)
+        else:
+            res, desk = TR.track(prev_feat0, ff0, motion0, self.cfg.tracker)
+            motion = res.pose
+        window, solve, pred, refined = self._window_step_impl(
+            window, world_pose, motion, (motion,) * L, tuple(corners),
+            tuple(surfs), mode2=False, calibrate_ext=False,
+            lidars=tuple(range(L)),
+        )
+        if self.cfg.tracker.skip_steady:
+            prev_refined = Pose(window.poses.q[-2], window.poses.t[-2])
+            motion = se3.compose(se3.inverse(prev_refined), refined)
+        return window, refined, motion, desk, pred, solve, tuple(outliers)
 
     # ---------------- host orchestration ----------------
 
@@ -327,6 +385,29 @@ class OdometryPipeline:
         cfg = self.cfg
         L = cfg.rig.n_lidars
         assert len(imgs) == L
+
+        # fast path: steady multi-lidar pure odometry — one dispatch per sweep
+        if (
+            self._fused_multi is not None
+            and self.ext_mode == 0
+            and self.prev_feats[0] is not None
+            and self.frame_idx >= cfg.odometry.window_size
+        ):
+            (self.window, refined, motion, desk, pred,
+             solve, outliers) = self._fused_multi(
+                self.window, self.world_pose, self.motions[0],
+                self.prev_feats[0], tuple(imgs),
+            )
+            self.motions[0] = motion
+            self.prev_feats[0] = desk
+            self.last_outlier = list(outliers)
+            self.world_pose = refined
+            self.frame_idx += 1
+            return OdometryOutput(
+                pose=refined, pose_predict=pred, extrinsics=self.window.ext,
+                ext_mode=self.ext_mode, cost=solve.cost,
+                n_corner=solve.n_corner, n_surf=solve.n_surf,
+            )
 
         # fast path: steady single-lidar odometry — one dispatch per sweep
         if (

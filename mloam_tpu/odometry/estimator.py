@@ -39,7 +39,7 @@ from mloam_tpu.core import rotations as rot
 from mloam_tpu.core import se3
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend.features import FeatCloud
-from mloam_tpu.ops import voxel
+from mloam_tpu.ops import select, voxel
 from mloam_tpu.solver import degeneracy, factors
 from mloam_tpu.solver.gauss_newton import gauss_newton
 from mloam_tpu.solver.marginalization import QuadPrior, schur_marginalize_quad
@@ -170,6 +170,15 @@ def build_local_map(state: WindowState, cfg: MloamConfig):
 
     c_xyz, c_mask = project(state.corner)
     s_xyz, s_mask = project(state.surf)
+    # sort-free compaction first: the stacks are mostly padding (per-frame
+    # caps are worst-case), and the voxel argsort cost scales with row
+    # count, not valid count. Exact whenever the valid points fit the bound.
+    L = cfg.rig.n_lidars
+    pc, ps = cfg.odometry.localmap_precap_corner, cfg.odometry.localmap_precap_surf
+    if pc is not None and pc * L < c_xyz.shape[0]:
+        c_xyz, c_mask = select.compact_stride(c_xyz, c_mask, pc * L)
+    if ps is not None and ps * L < s_xyz.shape[0]:
+        s_xyz, s_mask = select.compact_stride(s_xyz, s_mask, ps * L)
     # fused packed single-key sort over both feature classes (the window
     # local map spans well under the 1024-cell grid at these leaves)
     c_ds, c_dm, s_ds, s_dm = voxel.voxel_downsample_two_class(

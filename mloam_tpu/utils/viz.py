@@ -117,3 +117,53 @@ def plot_plane_normals(path_png: str, points: np.ndarray,
     fig.tight_layout()
     fig.savefig(path_png, dpi=120)
     plt.close(fig)
+
+
+def plot_scan_context(path_png: str, descriptor: np.ndarray,
+                      title: str = "scan context"):
+    """Render a scan-context descriptor [rings, sectors] as an image —
+    the headless counterpart of the reference's scan-context image topic
+    (pose_graph.cpp:50 publishes the descriptor via cv_bridge)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    d = np.asarray(descriptor)
+    fig, ax = plt.subplots(figsize=(8, 3))
+    im = ax.imshow(d, aspect="auto", origin="lower", cmap="viridis")
+    ax.set_xlabel("sector (azimuth bin)")
+    ax.set_ylabel("ring (radial bin)")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, label="max height [m]")
+    fig.tight_layout()
+    fig.savefig(path_png, dpi=120)
+    plt.close(fig)
+
+
+def plot_pose_graph(path_png: str, node_t: np.ndarray,
+                    loop_edges: list[tuple[int, int]] | None = None,
+                    corrected_t: np.ndarray | None = None,
+                    title: str = "pose graph"):
+    """Pose-graph overview: sequential chain + loop edges (+ optionally the
+    post-PGO corrected trajectory) — the CameraPoseVisualization rviz-marker
+    counterpart (mloam_loop/src/utility/CameraPoseVisualization.cpp)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.asarray(node_t)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    ax.plot(t[:, 0], t[:, 1], "o-", ms=2, lw=0.8, label="keyframes")
+    for i, j in loop_edges or []:
+        ax.plot(t[[i, j], 0], t[[i, j], 1], "r-", lw=1.2)
+    if corrected_t is not None:
+        c = np.asarray(corrected_t)
+        ax.plot(c[:, 0], c[:, 1], "g--", lw=1.0, label="after PGO")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.legend()
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path_png, dpi=120)
+    plt.close(fig)

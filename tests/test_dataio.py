@@ -84,3 +84,38 @@ class TestNative:
         z = np.load(out)
         assert z["xyzi"].shape == (n, 2048, 4)
         assert int(z["mask"][0].sum()) == 1000
+
+
+class TestRealtimeGate:
+    """Frame-drop backpressure (reference rosNodeSR.cpp:111-123 /
+    lidar_mapper_keyframe.cpp:1048-1053 load shedding)."""
+
+    def test_keeps_up_no_drops(self):
+        from mloam_tpu.utils.realtime import RealtimeGate
+
+        clk = iter([i * 0.1 for i in range(100)])
+        gate = RealtimeGate(max_lag_s=0.2, clock=lambda: next(clk))
+        # wall advances exactly with the stream: everything admitted
+        assert all(gate.admit(i * 0.1) for i in range(50))
+        assert gate.n_dropped == 0
+
+    def test_sheds_when_behind(self):
+        from mloam_tpu.utils.realtime import RealtimeGate
+
+        # wall clock runs 2x faster than the stream: processing too slow
+        clk = iter([i * 0.2 for i in range(100)])
+        gate = RealtimeGate(max_lag_s=0.25, clock=lambda: next(clk))
+        decisions = [gate.admit(i * 0.1) for i in range(40)]
+        assert gate.n_dropped > 10
+        # the first frames (within the lag budget) were admitted
+        assert decisions[0] and decisions[1]
+        assert gate.stats()["dropped"] == gate.n_dropped
+
+    def test_gated_iterator(self):
+        from mloam_tpu.utils.realtime import RealtimeGate, gated
+
+        clk = iter([i * 0.3 for i in range(100)])
+        gate = RealtimeGate(max_lag_s=0.35, clock=lambda: next(clk))
+        frames = [(i * 0.1, f"f{i}") for i in range(20)]
+        out = list(gated(iter(frames), gate))
+        assert 0 < len(out) < 20

@@ -48,3 +48,39 @@ class TestOdometryE2E:
         d_est = np.linalg.norm(np.diff(est_t, axis=0), axis=1)
         d_gt = np.linalg.norm(np.diff(np.asarray(gt.t[:N_FRAMES]), axis=0), axis=1)
         np.testing.assert_allclose(d_est[2:], d_gt[2:], atol=0.02)
+
+
+class TestMultiLidarFusedE2E:
+    """The steady multi-lidar pure-odometry fast path (one dispatch per
+    sweep): dual rig with known extrinsics, ATE gate (the reference's
+    post-calibration NUM_OF_LASER path, estimator.cpp:789-848)."""
+
+    def test_dual_lidar_fused_ate(self):
+        from mloam_tpu.core.se3 import Pose
+        from mloam_tpu.odometry import estimator as E
+        from mloam_tpu.sim import world as W
+
+        cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
+        w = W.make_world(jax.random.PRNGKey(0))
+        traj = W.make_trajectory(jax.random.PRNGKey(1))
+        model = cfg.rig.models[0]
+        X = Pose(
+            jnp.asarray([0.9659258, 0.0, 0.0, 0.258819], jnp.float32),
+            jnp.asarray([0.3, -0.2, 0.1], jnp.float32),
+        )
+        imgs0, gt = W.render_sequence(w, traj, model, N_FRAMES)
+        imgs1, _ = W.render_sequence(w, traj, model, N_FRAMES, extrinsic=X)
+        pipe = OdometryPipeline(cfg)
+        ext = Pose(jnp.stack([Pose.identity().q, X.q]),
+                   jnp.stack([Pose.identity().t, X.t]))
+        pipe.window = E.set_extrinsics(pipe.window, ext)
+        est = []
+        for i in range(N_FRAMES):
+            f0 = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs0])
+            f1 = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs1])
+            out = pipe.process([f0, f1])
+            est.append(np.asarray(out.pose.t))
+        # the fused multi-lidar program must actually be in use
+        assert pipe._fused_multi is not None and pipe.ext_mode == 0
+        ate = evaluation.ate_rmse(np.stack(est), np.asarray(gt.t[:N_FRAMES]))
+        assert ate < 0.05, f"dual-lidar fused ATE {ate*100:.1f} cm"

@@ -158,3 +158,38 @@ class TestAnalyticWindowLinearize:
 
     def test_calibration_mode_dual_lidar(self):
         self._compare(calibrate_ext=True, n_lidars=2)
+
+
+class TestLocalMapPrecompaction:
+    """build_local_map's sort-free precompaction must be exact whenever the
+    valid stacked points fit the bound (the steady case)."""
+
+    def _maps_as_sets(self, out):
+        c_ds, c_dm, s_ds, s_dm = out
+        c = np.asarray(c_ds)[np.asarray(c_dm)]
+        s = np.asarray(s_ds)[np.asarray(s_dm)]
+        return (c[np.lexsort(c.T)], s[np.lexsort(s.T)])
+
+    def test_precap_exact_when_fits(self):
+        cfg = _small_cfg()
+        # mask out half the points so the valid count fits the bound
+        state = _make_window(cfg)
+        state = state._replace(
+            corner=state.corner._replace(
+                mask=state.corner.mask.at[:, :, CAP_C // 2:].set(False)),
+            surf=state.surf._replace(
+                mask=state.surf.mask.at[:, :, CAP_S // 2:].set(False)),
+        )
+        n_slots = cfg.odometry.window_size + 1
+        pre_c = n_slots * CAP_C // 2   # >= valid corners, < stack rows
+        pre_s = n_slots * CAP_S // 2
+        cfg_pre = cfg.replace(odometry=dataclasses.replace(
+            cfg.odometry, localmap_precap_corner=pre_c,
+            localmap_precap_surf=pre_s))
+        cfg_off = cfg.replace(odometry=dataclasses.replace(
+            cfg.odometry, localmap_precap_corner=None,
+            localmap_precap_surf=None))
+        got_c, got_s = self._maps_as_sets(E.build_local_map(state, cfg_pre))
+        exp_c, exp_s = self._maps_as_sets(E.build_local_map(state, cfg_off))
+        np.testing.assert_allclose(got_c, exp_c, atol=1e-6)
+        np.testing.assert_allclose(got_s, exp_s, atol=1e-6)
