@@ -131,6 +131,10 @@ class MappingConfig:
     outlier_leaf: float = 0.8
     keyframe_leaf: float = 1.0
     surround_radius: float = 50.0
+    # rebuild the cached assembled surround map after moving this far from
+    # the assembly center (it also rebuilds on every keyframe insertion);
+    # small vs surround_radius, so staleness only trims the far fringe
+    surround_rebuild_dist: float = 5.0
     keyframe_dist: float = 1.0
     keyframe_angle_deg: float = 1.0
     outer_iters: int = 2

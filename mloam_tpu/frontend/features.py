@@ -64,18 +64,61 @@ class FeatureFrame(NamedTuple):
     less_flat: FeatCloud
 
 
+def _circ_pad_cols(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """Circular padding along the column axis (axis 1): ``lo`` columns from
+    the right edge prepended, ``hi`` from the left appended — the sweep is a
+    full 360° loop, so windows must wrap at the seam like jnp.roll does."""
+    parts = []
+    if lo > 0:
+        parts.append(x[:, -lo:])
+    parts.append(x)
+    if hi > 0:
+        parts.append(x[:, :hi])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+
+
+def _window_reduce_cols(x: jnp.ndarray, lo: int, hi: int, kind: str):
+    """Reduction of x over the circular column window [j-lo, j+hi] for every
+    column j, in ONE sliding-window op. Replaces a loop of ``lo+hi`` rolls —
+    each roll is a separate ~25 µs device pass on [R, C] images, and the
+    frontend previously issued ~40 of them per sweep."""
+    is_bool = x.dtype == jnp.bool_
+    if is_bool:
+        x = x.astype(jnp.uint8)
+    pad = _circ_pad_cols(x, lo, hi)
+    w = lo + hi + 1
+    window = (1, w) + (1,) * (x.ndim - 2)
+    strides = (1,) * x.ndim
+    if kind == "add":
+        out = jax.lax.reduce_window(
+            pad, jnp.array(0, x.dtype), jax.lax.add, window, strides, "VALID"
+        )
+    elif kind == "max":
+        out = jax.lax.reduce_window(
+            pad, jnp.array(-jnp.inf if not is_bool else 0, x.dtype),
+            jax.lax.max, window, strides, "VALID"
+        )
+    elif kind == "min":
+        out = jax.lax.reduce_window(
+            pad, jnp.array(jnp.inf if not is_bool else 1, x.dtype),
+            jax.lax.min, window, strides, "VALID"
+        )
+    else:
+        raise ValueError(kind)
+    return out.astype(bool) if is_bool else out
+
+
 def curvature(img: RangeImage, valid: jnp.ndarray, half: int = 5):
     """LOAM curvature per cell: || Σ_{d=-half..half} (p_{j+d} - p_j) ||² over
     the ring (column) direction. Cells whose full window isn't valid are
-    flagged unusable. Returns (curv [R,C], usable [R,C])."""
+    flagged unusable. Returns (curv [R,C], usable [R,C]).
+
+    Σ_{d≠0} p_{j+d} − 2·half·p_j = (window sum) − (2·half+1)·p_j: one
+    sliding-sum instead of 2·half rolls."""
     xyz = img.xyz
-    acc = -2.0 * half * xyz
-    win_ok = valid
-    for d in range(1, half + 1):
-        left = jnp.roll(xyz, d, axis=1)
-        right = jnp.roll(xyz, -d, axis=1)
-        acc = acc + left + right
-        win_ok = win_ok & jnp.roll(valid, d, axis=1) & jnp.roll(valid, -d, axis=1)
+    s = _window_reduce_cols(xyz, half, half, "add")
+    acc = s - (2.0 * half + 1.0) * xyz
+    win_ok = _window_reduce_cols(valid, half, half, "min")
     curv = jnp.sum(acc * acc, axis=-1)
     return curv, win_ok
 
@@ -93,9 +136,10 @@ def reliability_mask(img: RangeImage, valid: jnp.ndarray, half: int = 5,
     d_prv = jnp.roll(d, 1, axis=1)
     jump_right = valid & nxt_v & (d - d_nxt > occl_jump)  # j far, j+1 near
     jump_left = valid & prv_v & (d - d_prv > occl_jump)   # j far, j-1 near
-    occl = jnp.zeros_like(valid)
-    for s in range(0, half + 1):
-        occl = occl | jnp.roll(jump_right, -s, axis=1) | jnp.roll(jump_left, s, axis=1)
+    # dilate each jump flag ``half`` columns into the far side: an asymmetric
+    # sliding-OR replaces 2*(half+1) rolls
+    occl = (_window_reduce_cols(jump_right, 0, half, "max")
+            | _window_reduce_cols(jump_left, half, 0, "max"))
     parallel = valid & (jnp.abs(d_nxt - d) > parallel_frac * d) & (
         jnp.abs(d_prv - d) > parallel_frac * d
     )
@@ -109,10 +153,7 @@ def _local_extreme(curv: jnp.ndarray, usable: jnp.ndarray, radius: int,
     pick-then-suppress."""
     sign = 1.0 if mode == "max" else -1.0
     v = jnp.where(usable, sign * curv, -jnp.inf)
-    best = v
-    for d in range(1, radius + 1):
-        best = jnp.maximum(best, jnp.roll(v, d, axis=1))
-        best = jnp.maximum(best, jnp.roll(v, -d, axis=1))
+    best = _window_reduce_cols(v, radius, radius, "max")
     return usable & (v >= best) & jnp.isfinite(v)
 
 

@@ -240,3 +240,71 @@ class TestPallasLabelPropagation:
         finally:
             pl.pallas_call = orig
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestWindowReduceEquivalence:
+    """The sliding-window reductions must equal the roll-loop formulation
+    (circular wrap included) they replaced."""
+
+    def test_curvature_matches_rolls(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mloam_tpu.core.rangeimage import RangeImage
+        from mloam_tpu.frontend import features as F
+
+        key = jax.random.PRNGKey(0)
+        r, c, half = 8, 64, 5
+        xyz = jax.random.normal(key, (r, c, 3))
+        valid = jax.random.bernoulli(jax.random.PRNGKey(1), 0.8, (r, c))
+        img = RangeImage(
+            xyz=xyz, rng=jnp.linalg.norm(xyz, axis=-1),
+            time=jnp.zeros((r, c)), valid=valid,
+            intensity=jnp.zeros((r, c)),
+        )
+        curv, ok = F.curvature(img, valid, half)
+        # roll-based reference
+        acc = -2.0 * half * xyz
+        win_ok = valid
+        for d in range(1, half + 1):
+            acc = acc + jnp.roll(xyz, d, 1) + jnp.roll(xyz, -d, 1)
+            win_ok = win_ok & jnp.roll(valid, d, 1) & jnp.roll(valid, -d, 1)
+        np.testing.assert_allclose(np.asarray(curv),
+                                   np.asarray(jnp.sum(acc * acc, -1)),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(win_ok))
+
+    def test_local_extreme_matches_rolls(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mloam_tpu.frontend import features as F
+
+        curv = jax.random.uniform(jax.random.PRNGKey(2), (8, 64))
+        usable = jax.random.bernoulli(jax.random.PRNGKey(3), 0.7, (8, 64))
+        for mode in ("max", "min"):
+            got = F._local_extreme(curv, usable, 5, mode)
+            sign = 1.0 if mode == "max" else -1.0
+            v = jnp.where(usable, sign * curv, -jnp.inf)
+            best = v
+            for d in range(1, 6):
+                best = jnp.maximum(best, jnp.roll(v, d, 1))
+                best = jnp.maximum(best, jnp.roll(v, -d, 1))
+            exp = usable & (v >= best) & jnp.isfinite(v)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_occlusion_dilation_matches_rolls(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mloam_tpu.frontend import features as F
+
+        half = 5
+        jr = jax.random.bernoulli(jax.random.PRNGKey(4), 0.05, (8, 64))
+        jl = jax.random.bernoulli(jax.random.PRNGKey(5), 0.05, (8, 64))
+        got = (F._window_reduce_cols(jr, 0, half, "max")
+               | F._window_reduce_cols(jl, half, 0, "max"))
+        occl = jnp.zeros_like(jr)
+        for s in range(0, half + 1):
+            occl = occl | jnp.roll(jr, -s, 1) | jnp.roll(jl, s, 1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(occl))
