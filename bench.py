@@ -33,6 +33,7 @@ WARMUP = 8
 def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from mloam_tpu.core import rangeimage as RI
     from mloam_tpu.core.rangeimage import RangeImage
     from mloam_tpu.models import platforms
     from mloam_tpu.models.pipeline import OdometryPipeline
@@ -40,8 +41,20 @@ def main():
     from mloam_tpu.utils import evaluation
 
     cfg = platforms.synthetic(n_lidars=1)
+
+    def to_wire(imgs):
+        """Host-side frames in the deployment wire format (PackedFrame:
+        u16 2mm ranges + u8 intensity, 86 KB/sweep vs 0.72 MB of f32
+        RangeImage fields — the tunnel h2d path is bandwidth-bound, and a
+        real sensor stream arrives quantized like this anyway)."""
+        arr = jax.tree.map(lambda x: np.asarray(x), imgs)
+        return [
+            RI.pack_frame(RangeImage(*[x[i] for x in arr]))
+            for i in range(N_FRAMES)
+        ]
+
     imgs, gt_poses = render(cfg, N_FRAMES)
-    imgs = jax.tree.map(lambda x: np.asarray(x), imgs)  # host-side frames
+    imgs = to_wire(imgs)
     # disjoint sequences for the throughput passes: guards against any
     # server-side re-execution caching of identical submissions. Several
     # passes with a median reduce the large run-to-run drift of the shared
@@ -50,7 +63,7 @@ def main():
     tp_seqs = []
     for seed in (7, 11, 13):
         im, gt2 = render(cfg, N_FRAMES, seed=seed)
-        tp_seqs.append((jax.tree.map(lambda x: np.asarray(x), im), gt2))
+        tp_seqs.append((to_wire(im), gt2))
     pipe = OdometryPipeline(cfg)
 
     # warm the tunnel's device->host path outside the timed loop (the axon
@@ -60,8 +73,8 @@ def main():
     # pass 1 — latency: block per frame (also warms every compiled path)
     times = []
     for i in range(N_FRAMES):
-        img = RangeImage(*[jnp.asarray(x[i]) for x in imgs])
         t0 = time.perf_counter()
+        img = RI.PackedFrame(*[jnp.asarray(x) for x in imgs[i]])
         out = pipe.process([img])
         jax.block_until_ready(out.pose)
         times.append(time.perf_counter() - t0)
@@ -77,7 +90,7 @@ def main():
         est_t = []
         t0 = time.perf_counter()
         for i in range(N_FRAMES):
-            img = RangeImage(*[jnp.asarray(x[i]) for x in imgs2])
+            img = RI.PackedFrame(*[jnp.asarray(x) for x in imgs2[i]])
             out = pipe.process([img])
             est_t.append(out.pose.t)
         jax.block_until_ready(out.pose)

@@ -135,6 +135,12 @@ class MappingConfig:
     # the assembly center (it also rebuilds on every keyframe insertion);
     # small vs surround_radius, so staleness only trims the far fringe
     surround_rebuild_dist: float = 5.0
+    # sort-free compaction bounds (per lidar) for the stacked surround
+    # clouds before the assembly voxel sort (same trick as the window's
+    # localmap_precap_*): corner stacks are ~90+% padding; surf runs fuller,
+    # so its bound is generous. None disables.
+    surround_precap_corner: int | None = 8192
+    surround_precap_surf: int | None = 65536
     keyframe_dist: float = 1.0
     keyframe_angle_deg: float = 1.0
     outer_iters: int = 2

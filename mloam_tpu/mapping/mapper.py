@@ -110,7 +110,7 @@ def _assemble_map(state: MapperState, center: jnp.ndarray, cfg: MloamConfig,
     mc = cfg.mapping
     idx, ok = KF.surrounding(state.db, center, mc.surround_radius, n_surround)
 
-    def project(stack: FeatCloud, leaf: float):
+    def project(stack: FeatCloud, leaf: float, precap: int | None):
         xyz = stack.xyz[idx]          # [M, N, 3]
         mask = stack.mask[idx] & ok[:, None]
         q = state.db.poses.q[idx]
@@ -129,6 +129,17 @@ def _assemble_map(state: MapperState, center: jnp.ndarray, cfg: MloamConfig,
         flat_xyz = y.reshape(-1, 3)
         flat_cov = cov_pt.reshape(-1, 3, 3)
         flat_m = m.reshape(-1)
+        # sort-free compaction before the voxel sort: the stacked keyframe
+        # clouds are mostly padding (per-kf caps are worst-case), and the
+        # argsort is the dominant cost of assembly. Exact when the valid
+        # count fits the bound; even-stride subsample otherwise.
+        if precap is not None and precap < flat_xyz.shape[0]:
+            packed = jnp.concatenate(
+                [flat_xyz, flat_cov.reshape(-1, 9)], -1
+            )
+            packed, flat_m = select.compact_stride(packed, flat_m, precap)
+            flat_xyz = packed[:, :3]
+            flat_cov = packed[:, 3:].reshape(-1, 3, 3)
         # packed single-key sort: the surround map spans <= 2*radius
         # (100 m default) — well inside the 1024-cell packed grid
         ds_xyz, ds_cov, ds_m, _ = voxel.voxel_downsample_with_cov(
@@ -137,8 +148,13 @@ def _assemble_map(state: MapperState, center: jnp.ndarray, cfg: MloamConfig,
         )
         return ds_xyz, ds_cov, ds_m
 
-    c_xyz, c_cov, c_m = project(state.db.corner, mc.corner_leaf)
-    s_xyz, s_cov, s_m = project(state.db.surf, mc.surf_leaf)
+    L = cfg.rig.n_lidars
+    pc = (mc.surround_precap_corner * L
+          if mc.surround_precap_corner is not None else None)
+    ps = (mc.surround_precap_surf * L
+          if mc.surround_precap_surf is not None else None)
+    c_xyz, c_cov, c_m = project(state.db.corner, mc.corner_leaf, pc)
+    s_xyz, s_cov, s_m = project(state.db.surf, mc.surf_leaf, ps)
     return c_xyz, c_cov, c_m, s_xyz, s_cov, s_m
 
 

@@ -45,6 +45,7 @@ def _sync(x):
 
 from mloam_tpu.config import MloamConfig
 from mloam_tpu.core import se3
+from mloam_tpu.core import rangeimage as RI
 from mloam_tpu.core.rangeimage import RangeImage
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend import features as F
@@ -93,6 +94,8 @@ class OdometryPipeline:
         self.ext_samples: list[list] = [[] for _ in range(L)]
         self.ext_cov: np.ndarray | None = None
 
+        # constant per-lidar ray tables for wire-format (PackedFrame) input
+        self._rays = [RI.unit_rays(m) for m in cfg.rig.models]
         self._frontends = [
             jax.jit(functools.partial(self._frontend_impl, model_idx=l))
             for l in range(L)
@@ -161,10 +164,16 @@ class OdometryPipeline:
 
     # ---------------- device programs ----------------
 
-    def _frontend_impl(self, img: RangeImage, model_idx: int = 0):
+    def _frontend_impl(self, img, model_idx: int = 0):
         from mloam_tpu.frontend.features import FeatCloud
 
         model = self.cfg.rig.models[model_idx]
+        if isinstance(img, RI.PackedFrame):
+            # wire-format input: reconstruct the f32 range image ON DEVICE
+            # from the u16 ranges and the constant ray table — the h2d path
+            # is tunnel-bandwidth-bound, so only 86 KB crosses per sweep
+            # instead of 0.72 MB
+            img = RI.unpack_frame(img, self._rays[model_idx], model)
         seg = S.segment(img, model, self.cfg.segmenter)
         ff = F.extract(img, seg.segmented, self.cfg.features)
         corner = downsample_featcloud(

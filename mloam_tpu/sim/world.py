@@ -137,17 +137,12 @@ def raycast(world: World, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def sensor_rays(model: LidarModel, dtype=jnp.float32) -> jnp.ndarray:
-    """[R, C, 3] unit ray directions in the sensor frame."""
-    r, c = model.n_rings, model.n_cols
-    vert = jnp.deg2rad(
-        jnp.linspace(model.fov_down_deg, model.fov_up_deg, r, dtype=dtype)
-    )
-    az = (jnp.arange(c, dtype=dtype) + 0.5) / c * 2 * jnp.pi - jnp.pi
-    cv, sv = jnp.cos(vert)[:, None], jnp.sin(vert)[:, None]
-    ca, sa = jnp.cos(az)[None, :], jnp.sin(az)[None, :]
-    return jnp.stack(
-        [cv * ca, cv * sa, jnp.broadcast_to(sv, (r, c))], axis=-1
-    )
+    """[R, C, 3] unit ray directions in the sensor frame (canonical table
+    lives in core.rangeimage.unit_rays; the simulator casts along it, which
+    makes the PackedFrame wire format exactly lossless on sim data)."""
+    from mloam_tpu.core.rangeimage import unit_rays
+
+    return unit_rays(model, dtype)
 
 
 def render_scan(
