@@ -13,11 +13,23 @@
 //   ds_next(handle, buf, max_pts) -> n_pts          (blocks; 0 = end)
 //   ds_close(handle)
 //   ds_read_kitti_bin / ds_read_pcd                 (one-shot decoders)
+//   ds_grid_pack                                    (points -> PackedFrame)
+//   ds_vlp16_decode                                 (sensor packets -> PackedFrame)
+//   dsp_open / dsp_next / dsp_close                 (prefetch ring of PackedFrames:
+//                                                    decode + grid + quantize in the
+//                                                    worker thread)
 //
 // Formats: 0 = KITTI .bin (float32 x,y,z,intensity), 1 = PCD (ascii or
 // binary, FIELDS x y z [intensity]).
+//
+// PackedFrame (core/rangeimage.py PackedFrame): [R, C] uint16 range in 2 mm
+// counts (0 = no return) + [R, C] uint8 intensity — the framework's h2d wire
+// format. Producing it natively keeps the entire ingest path (file decode or
+// live packet stream -> gridded quantized sweep) off the Python hot loop;
+// Python only hands an 86 KB buffer to jnp.asarray.
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -149,6 +161,123 @@ int64_t read_pcd(const char* path, float* out, int64_t max_pts) {
   return -1;  // binary_compressed unsupported
 }
 
+constexpr double kRangeQuantum = 0.002;  // meters per count (RANGE_QUANTUM)
+constexpr double kPi = 3.14159265358979323846;
+
+// Grid + quantize one sweep of raw points into the PackedFrame wire format.
+// Mirrors core/rangeimage.project semantics exactly: nearest-ring rounding on
+// the model's linear elevation ladder, floor azimuth binning, closest-return-
+// wins per cell (ties: lowest point index — the sequential strict-less scan
+// keeps the first minimum, matching the scatter-min-on-index tie break).
+void grid_pack(const float* pts, int64_t n_pts, int n_rings, int n_cols,
+               double fov_up_deg, double fov_down_deg, double min_range,
+               double max_range, uint16_t* rng_q, uint8_t* inten_q) {
+  const int64_t cells = static_cast<int64_t>(n_rings) * n_cols;
+  std::memset(rng_q, 0, cells * sizeof(uint16_t));
+  std::memset(inten_q, 0, cells * sizeof(uint8_t));
+  const double fov_up = fov_up_deg * kPi / 180.0;
+  const double fov_down = fov_down_deg * kPi / 180.0;
+  const double fov_span = fov_up - fov_down;
+  for (int64_t p = 0; p < n_pts; ++p) {
+    const double x = pts[p * 4 + 0], y = pts[p * 4 + 1], z = pts[p * 4 + 2];
+    const double rng = std::sqrt(x * x + y * y + z * z);
+    if (!(rng > min_range) || !(rng < max_range)) continue;
+    const double horiz = std::max(std::sqrt(x * x + y * y), 1e-9);
+    const double ring_f =
+        (std::atan2(z, horiz) - fov_down) / fov_span * (n_rings - 1);
+    if (!(ring_f > -0.5) || !(ring_f < n_rings - 0.5)) continue;
+    int ring = static_cast<int>(std::lround(ring_f));
+    if (ring < 0) ring = 0;
+    if (ring >= n_rings) ring = n_rings - 1;
+    int col = static_cast<int>(
+        std::floor((std::atan2(y, x) + kPi) / (2 * kPi) * n_cols));
+    if (col < 0) col = 0;
+    if (col >= n_cols) col = n_cols - 1;
+    int64_t q = std::llround(rng / kRangeQuantum);
+    if (q < 1) q = 1;
+    if (q > 65535) q = 65535;
+    uint16_t& cell = rng_q[static_cast<int64_t>(ring) * n_cols + col];
+    if (cell == 0 || q < cell) {
+      cell = static_cast<uint16_t>(q);
+      double i255 = std::lround(pts[p * 4 + 3] * 255.0);
+      if (i255 < 0) i255 = 0;
+      if (i255 > 255) i255 = 255;
+      inten_q[static_cast<int64_t>(ring) * n_cols + col] =
+          static_cast<uint8_t>(i255);
+    }
+  }
+}
+
+// Velodyne-style spinning-LiDAR packet decoder -> PackedFrame.
+//
+// Packet layout (the de-facto 1206-byte VLP-16/32 wire format the reference's
+// upstream ROS driver consumes): 12 data blocks of
+//   [0xFFEE flag:2][azimuth:2 le, 0.01 deg][32 x (distance:2 le, 2 mm counts;
+//    reflectivity:1)]
+// followed by a 6-byte timestamp/factory tail. Each 32-return block holds two
+// 16-channel firing sequences; the second sequence's azimuth is interpolated
+// halfway to the next block. `ring_table[ch]` maps hardware laser id ->
+// grid ring (for the VLP-16 interleaved ladder: even ids are the lower 8
+// rings, odd the upper 8). Distances pass through UNTOUCHED — the sensor's
+// native 2 mm counts are exactly PackedFrame's units; decoding is pure
+// demultiplexing (this is why the wire format was chosen).
+//
+// Azimuth convention: packet azimuth a (0.01 deg, 0 at +x, increasing with
+// the sweep) maps to col = floor(a / 36000 * n_cols); deployments with a
+// different zero apply a column roll on device.
+int vlp16_decode(const uint8_t* data, int64_t n_bytes, const int* ring_table,
+                 int n_rings, int n_cols, uint16_t* rng_q, uint8_t* inten_q) {
+  constexpr int kPacket = 1206, kBlocks = 12, kBlockBytes = 100;
+  const int64_t cells = static_cast<int64_t>(n_rings) * n_cols;
+  std::memset(rng_q, 0, cells * sizeof(uint16_t));
+  std::memset(inten_q, 0, cells * sizeof(uint8_t));
+  const int64_t n_packets = n_bytes / kPacket;
+  int decoded = 0;
+  int prev_gap = 0;  // carried across blocks/packets for the trailing block
+  for (int64_t pk = 0; pk < n_packets; ++pk) {
+    const uint8_t* pkt = data + pk * kPacket;
+    for (int b = 0; b < kBlocks; ++b) {
+      const uint8_t* blk = pkt + b * kBlockBytes;
+      if (blk[0] != 0xFF || blk[1] != 0xEE) continue;
+      const int az = blk[2] | (blk[3] << 8);  // 0.01 deg
+      // azimuth of the second firing sequence: halfway to the next block
+      // (packets don't carry it; when there is no next block — end of
+      // packet — reuse the previous inter-block gap, the standard driver
+      // interpolation)
+      int az_gap = prev_gap;
+      if (b + 1 < kBlocks) {
+        const uint8_t* nb = pkt + (b + 1) * kBlockBytes;
+        if (nb[0] == 0xFF && nb[1] == 0xEE) {
+          az_gap = (nb[2] | (nb[3] << 8)) - az;
+          if (az_gap < 0) az_gap += 36000;
+        }
+      }
+      prev_gap = az_gap;
+      const int az2 = (az + az_gap / 2) % 36000;
+      for (int seq = 0; seq < 2; ++seq) {
+        const int a = seq == 0 ? az : az2;
+        int col = static_cast<int>(
+            static_cast<int64_t>(a) * n_cols / 36000);
+        if (col >= n_cols) col = n_cols - 1;
+        for (int ch = 0; ch < 16; ++ch) {
+          const uint8_t* ret = blk + 4 + (seq * 16 + ch) * 3;
+          const uint16_t dist = ret[0] | (ret[1] << 8);
+          if (dist == 0) continue;
+          const int ring = ring_table[ch];
+          if (ring < 0 || ring >= n_rings) continue;
+          uint16_t& cell = rng_q[static_cast<int64_t>(ring) * n_cols + col];
+          if (cell == 0 || dist < cell) {
+            cell = dist;
+            inten_q[static_cast<int64_t>(ring) * n_cols + col] = ret[2];
+          }
+          ++decoded;
+        }
+      }
+    }
+  }
+  return decoded;
+}
+
 struct Dataset {
   std::vector<std::string> paths;
   int format = 0;
@@ -183,9 +312,110 @@ struct Dataset {
   }
 };
 
+// Prefetch ring of PackedFrames: the worker thread decodes each file AND
+// grids/quantizes it, so the consumer receives ready-to-ship wire buffers
+// (the full ingest path of §2.1's ROS node frontends, as one native stage).
+struct PackedDataset {
+  std::vector<std::string> paths;
+  int format = 0;
+  int64_t max_pts = 0;
+  int n_rings = 16, n_cols = 1800;
+  double fov_up = 15.0, fov_down = -15.0, min_range = 0.3, max_range = 100.0;
+
+  struct PFrame {
+    std::vector<uint16_t> rng;
+    std::vector<uint8_t> inten;
+  };
+  std::deque<PFrame> ring;
+  size_t capacity = 4;
+  std::mutex mu;
+  std::condition_variable cv_can_produce, cv_can_consume;
+  std::atomic<bool> done{false};
+  std::atomic<bool> stop{false};
+  std::thread worker;
+
+  void run() {
+    std::vector<float> pts(static_cast<size_t>(max_pts) * 4);
+    const int64_t cells = static_cast<int64_t>(n_rings) * n_cols;
+    for (size_t i = 0; i < paths.size() && !stop.load(); ++i) {
+      int64_t n = format == 0
+                      ? read_kitti_bin(paths[i].c_str(), pts.data(), max_pts)
+                      : read_pcd(paths[i].c_str(), pts.data(), max_pts);
+      PFrame fr;
+      fr.rng.resize(cells);
+      fr.inten.resize(cells);
+      grid_pack(pts.data(), n < 0 ? 0 : n, n_rings, n_cols, fov_up, fov_down,
+                min_range, max_range, fr.rng.data(), fr.inten.data());
+      std::unique_lock<std::mutex> lk(mu);
+      cv_can_produce.wait(lk, [&] { return ring.size() < capacity || stop; });
+      if (stop) break;
+      ring.push_back(std::move(fr));
+      cv_can_consume.notify_one();
+    }
+    done = true;
+    std::lock_guard<std::mutex> lk(mu);
+    cv_can_consume.notify_all();
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void ds_grid_pack(const float* pts, int64_t n_pts, int n_rings, int n_cols,
+                  double fov_up_deg, double fov_down_deg, double min_range,
+                  double max_range, uint16_t* rng_q, uint8_t* inten_q) {
+  grid_pack(pts, n_pts, n_rings, n_cols, fov_up_deg, fov_down_deg, min_range,
+            max_range, rng_q, inten_q);
+}
+
+int64_t ds_vlp16_decode(const uint8_t* data, int64_t n_bytes,
+                        const int* ring_table, int n_rings, int n_cols,
+                        uint16_t* rng_q, uint8_t* inten_q) {
+  return vlp16_decode(data, n_bytes, ring_table, n_rings, n_cols, rng_q,
+                      inten_q);
+}
+
+void* dsp_open(const char** paths, int64_t n_paths, int format,
+               int64_t max_pts, int64_t capacity, int n_rings, int n_cols,
+               double fov_up_deg, double fov_down_deg, double min_range,
+               double max_range) {
+  auto* ds = new PackedDataset();
+  ds->paths.assign(paths, paths + n_paths);
+  ds->format = format;
+  ds->max_pts = max_pts;
+  ds->capacity = static_cast<size_t>(capacity > 0 ? capacity : 4);
+  ds->n_rings = n_rings;
+  ds->n_cols = n_cols;
+  ds->fov_up = fov_up_deg;
+  ds->fov_down = fov_down_deg;
+  ds->min_range = min_range;
+  ds->max_range = max_range;
+  ds->worker = std::thread([ds] { ds->run(); });
+  return ds;
+}
+
+int64_t dsp_next(void* handle, uint16_t* rng_q, uint8_t* inten_q) {
+  auto* ds = static_cast<PackedDataset*>(handle);
+  std::unique_lock<std::mutex> lk(ds->mu);
+  ds->cv_can_consume.wait(lk, [&] { return !ds->ring.empty() || ds->done; });
+  if (ds->ring.empty()) return 0;
+  PackedDataset::PFrame fr = std::move(ds->ring.front());
+  ds->ring.pop_front();
+  ds->cv_can_produce.notify_one();
+  lk.unlock();
+  std::memcpy(rng_q, fr.rng.data(), fr.rng.size() * sizeof(uint16_t));
+  std::memcpy(inten_q, fr.inten.data(), fr.inten.size() * sizeof(uint8_t));
+  return 1;
+}
+
+void dsp_close(void* handle) {
+  auto* ds = static_cast<PackedDataset*>(handle);
+  ds->stop = true;
+  ds->cv_can_produce.notify_all();
+  if (ds->worker.joinable()) ds->worker.join();
+  delete ds;
+}
 
 void* ds_open(const char** paths, int64_t n_paths, int format,
               int64_t max_pts, int64_t capacity) {

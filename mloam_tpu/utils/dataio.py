@@ -54,6 +54,31 @@ def _load_native(build_if_missing: bool = True):
     lib.ds_read_pcd.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64
     ]
+    lib.ds_grid_pack.restype = None
+    lib.ds_grid_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.ds_vlp16_decode.restype = ctypes.c_int64
+    lib.ds_vlp16_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.dsp_open.restype = ctypes.c_void_p
+    lib.dsp_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+    ]
+    lib.dsp_next.restype = ctypes.c_int64
+    lib.dsp_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.dsp_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -167,6 +192,167 @@ class PrefetchReader:
     def close(self):
         if self._handle is not None:
             self._lib.ds_close(self._handle)
+            self._handle = None
+
+
+# hardware laser id -> grid ring (0 = lowest elevation) for the VLP-16's
+# interleaved firing ladder: even ids are -15..-1 deg, odd ids +1..+15
+VLP16_RING_TABLE = np.array(
+    [i // 2 if i % 2 == 0 else 8 + i // 2 for i in range(16)], np.int32
+)
+
+
+def grid_pack(points: np.ndarray, model) -> tuple[np.ndarray, np.ndarray]:
+    """[N, 4] xyzi points -> PackedFrame arrays (u16 2 mm ranges, u8
+    intensity) via the native gridder (numpy fallback through
+    core.rangeimage when unavailable). Mirrors rangeimage.project +
+    pack_frame exactly (closest-return-wins, nearest-ring)."""
+    pts = np.ascontiguousarray(points, np.float32)
+    lib = _load_native()
+    if lib is not None:
+        rng_q = np.empty((model.n_rings, model.n_cols), np.uint16)
+        inten_q = np.empty((model.n_rings, model.n_cols), np.uint8)
+        lib.ds_grid_pack(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pts.shape[0], model.n_rings, model.n_cols,
+            model.fov_up_deg, model.fov_down_deg,
+            model.min_range, model.max_range,
+            rng_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            inten_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return rng_q, inten_q
+    from mloam_tpu.core import rangeimage as RI
+
+    img = RI.project(pts[:, :3], np.ones(pts.shape[0], bool), model,
+                     intensity=pts[:, 3])
+    pf = RI.pack_frame(img)
+    return np.asarray(pf.rng_q), np.asarray(pf.intensity_q)
+
+
+def vlp16_decode(packets: bytes | np.ndarray, model,
+                 ring_table: np.ndarray | None = None
+                 ) -> tuple[np.ndarray, np.ndarray, int]:
+    """One sweep of Velodyne-style 1206-byte packets -> PackedFrame arrays.
+
+    The sensor's native 2 mm distance counts pass straight through into the
+    wire format (no float conversion anywhere on the host). Returns
+    (rng_q [R,C] u16, intensity_q [R,C] u8, n_returns_decoded). The live
+    counterpart of the reference's rosbag/driver ingest (rosNodeSR.cpp
+    subscribes to the driver's assembled clouds; here the driver itself is
+    part of the framework). Requires the native library.
+    """
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native library required for packet decoding")
+    buf = np.frombuffer(packets, np.uint8) if isinstance(packets, bytes) \
+        else np.ascontiguousarray(packets, np.uint8)
+    table = np.ascontiguousarray(
+        VLP16_RING_TABLE if ring_table is None else ring_table, np.int32
+    )
+    rng_q = np.empty((model.n_rings, model.n_cols), np.uint16)
+    inten_q = np.empty((model.n_rings, model.n_cols), np.uint8)
+    n = lib.ds_vlp16_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        model.n_rings, model.n_cols,
+        rng_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        inten_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return rng_q, inten_q, int(n)
+
+
+def encode_vlp16_packets(ring: np.ndarray, col: np.ndarray,
+                         rng_q: np.ndarray, inten: np.ndarray,
+                         n_cols: int,
+                         ring_table: np.ndarray | None = None) -> bytes:
+    """Synthesize Velodyne-style packets from per-return (ring, col, 2 mm
+    count, intensity) arrays — the test/simulation encoder dual of
+    vlp16_decode. Emits one 16-channel firing sequence per distinct column
+    (two sequences per 100-byte block, 12 blocks per 1206-byte packet)."""
+    table = VLP16_RING_TABLE if ring_table is None else ring_table
+    ring_to_ch = np.empty(16, np.int64)
+    ring_to_ch[np.asarray(table)] = np.arange(16)
+    cols = np.unique(col)
+    # per-sequence channel payloads, keyed by column
+    seqs = []
+    for c in cols:
+        m = col == c
+        dist = np.zeros(16, np.uint16)
+        ii = np.zeros(16, np.uint8)
+        dist[ring_to_ch[ring[m]]] = rng_q[m]
+        ii[ring_to_ch[ring[m]]] = inten[m]
+        az = int(round(c * 36000 / n_cols))
+        seqs.append((az, dist, ii))
+    out = bytearray()
+    for i in range(0, len(seqs), 24):  # 24 sequences = 12 blocks = 1 packet
+        pkt = bytearray()
+        chunk = seqs[i:i + 24]
+        for b in range(12):
+            s1 = chunk[2 * b] if 2 * b < len(chunk) else None
+            if s1 is None:
+                pkt += b"\x00" * 100  # invalid block (flag != 0xFFEE)
+                continue
+            pkt += bytes([0xFF, 0xEE, s1[0] & 0xFF, (s1[0] >> 8) & 0xFF])
+            for seq in (s1, chunk[2 * b + 1] if 2 * b + 1 < len(chunk) else None):
+                for ch in range(16):
+                    if seq is None:
+                        pkt += b"\x00\x00\x00"
+                    else:
+                        d, it = int(seq[1][ch]), int(seq[2][ch])
+                        pkt += bytes([d & 0xFF, (d >> 8) & 0xFF, it])
+        pkt += b"\x00" * 6  # timestamp/factory tail
+        assert len(pkt) == 1206
+        out += pkt
+    return bytes(out)
+
+
+class PackedPrefetchReader:
+    """Background-thread PackedFrame streaming: the native worker decodes
+    each file AND grids/quantizes it, so iteration yields ready-to-ship
+    (rng_q, intensity_q) wire buffers (86 KB/sweep for a VLP-16)."""
+
+    def __init__(self, paths: list[str], model, fmt: str = "kitti",
+                 max_pts: int = 150_000, capacity: int = 4):
+        self.model = model
+        self._lib = _load_native()
+        self._paths = paths
+        self._fmt = 0 if fmt == "kitti" else 1
+        self._max_pts = max_pts
+        self._handle = None
+        if self._lib is not None:
+            arr = (ctypes.c_char_p * len(paths))(
+                *[p.encode() for p in paths]
+            )
+            self._handle = self._lib.dsp_open(
+                arr, len(paths), self._fmt, max_pts, capacity,
+                model.n_rings, model.n_cols, model.fov_up_deg,
+                model.fov_down_deg, model.min_range, model.max_range,
+            )
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        if self._handle is not None:
+            while True:
+                rng_q = np.empty((self.model.n_rings, self.model.n_cols),
+                                 np.uint16)
+                inten_q = np.empty((self.model.n_rings, self.model.n_cols),
+                                   np.uint8)
+                ok = self._lib.dsp_next(
+                    self._handle,
+                    rng_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    inten_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                )
+                if ok <= 0:
+                    break
+                yield rng_q, inten_q
+        else:
+            for p in self._paths:
+                pts = (read_kitti_bin(p, self._max_pts) if self._fmt == 0
+                       else read_pcd(p, self._max_pts))
+                yield grid_pack(pts, self.model)
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.dsp_close(self._handle)
             self._handle = None
 
 

@@ -119,3 +119,134 @@ class TestRealtimeGate:
         frames = [(i * 0.1, f"f{i}") for i in range(20)]
         out = list(gated(iter(frames), gate))
         assert 0 < len(out) < 20
+
+
+class TestNativePacking:
+    """Native ingest -> PackedFrame wire format: gridder parity with the
+    device-side projection, packet codec round trip, packed prefetch ring."""
+
+    def _model(self):
+        from mloam_tpu.core.rangeimage import LidarModel
+
+        return LidarModel(n_rings=16, n_cols=360)
+
+    def test_grid_pack_matches_project(self):
+        """Native grid_pack == rangeimage.project + pack_frame on random
+        clouds (same cell assignment, same winner, same quantization)."""
+        import jax.numpy as jnp
+
+        from mloam_tpu.core import rangeimage as RI
+
+        pytest.importorskip("ctypes")
+        if not dataio.native_available():
+            pytest.skip("native library unavailable")
+        model = self._model()
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-40, 40, (20_000, 4)).astype(np.float32)
+        pts[:, 3] = rng.uniform(0, 1, 20_000)
+
+        rq_native, iq_native = dataio.grid_pack(pts, model)
+
+        img = RI.project(jnp.asarray(pts[:, :3]),
+                         jnp.ones(pts.shape[0], bool), model,
+                         intensity=jnp.asarray(pts[:, 3]))
+        pf = RI.pack_frame(img)
+        rq_ref, iq_ref = np.asarray(pf.rng_q), np.asarray(pf.intensity_q)
+
+        # ranges: identical cells must be valid, counts equal up to 1 count
+        # (f32 norm vs f64 norm rounding at the .5 boundary)
+        np.testing.assert_array_equal(rq_native > 0, rq_ref > 0)
+        both = (rq_native > 0) & (rq_ref > 0)
+        diff = np.abs(rq_native.astype(int) - rq_ref.astype(int))
+        assert diff[both].max() <= 1
+        # intensity of the winning return: equal wherever the range winner
+        # is unambiguous (count differences can flip ties)
+        same_rng = both & (diff == 0)
+        frac_equal = (iq_native[same_rng] == iq_ref[same_rng]).mean()
+        assert frac_equal > 0.999
+
+    def test_vlp16_roundtrip(self):
+        """encode_vlp16_packets -> ds_vlp16_decode reproduces the exact
+        (ring, col, count, intensity) returns — distances pass through in
+        native 2 mm units untouched."""
+        if not dataio.native_available():
+            pytest.skip("native library unavailable")
+        model = self._model()
+        rng = np.random.default_rng(7)
+        # uniform azimuth sweep (every column fires, like a real sensor) —
+        # the packet format does not carry the second firing sequence's
+        # azimuth, so the decoder interpolates it; with a uniform sweep the
+        # interpolation is exact. Random subset of rings returns per column.
+        ring_l, col_l = [], []
+        for c in range(model.n_cols):
+            rs = np.flatnonzero(rng.uniform(size=16) < 0.7)
+            if rs.size == 0:
+                rs = np.array([rng.integers(0, 16)])
+            ring_l.append(rs)
+            col_l.append(np.full(rs.size, c))
+        ring = np.concatenate(ring_l)
+        col = np.concatenate(col_l)
+        counts = rng.integers(200, 50_000, ring.size).astype(np.uint16)
+        inten = rng.integers(0, 256, ring.size).astype(np.uint8)
+
+        pkts = dataio.encode_vlp16_packets(
+            ring, col, counts, inten, model.n_cols
+        )
+        assert len(pkts) % 1206 == 0
+        rq, iq, n_dec = dataio.vlp16_decode(pkts, model)
+        assert n_dec == ring.size
+
+        exp_r = np.zeros((16, model.n_cols), np.uint16)
+        exp_i = np.zeros((16, model.n_cols), np.uint8)
+        exp_r[ring, col] = counts
+        exp_i[ring, col] = inten
+        np.testing.assert_array_equal(rq, exp_r)
+        np.testing.assert_array_equal(iq, exp_i)
+
+    def test_vlp16_closest_return_wins(self):
+        """Two returns in the same cell: the smaller distance count wins
+        (same collision rule as the gridder/projection)."""
+        if not dataio.native_available():
+            pytest.skip("native library unavailable")
+        model = self._model()
+        ring = np.array([4, 4])
+        col = np.array([10, 10])
+        # encode as two separate sequences (same column twice)
+        p1 = dataio.encode_vlp16_packets(
+            ring[:1], col[:1], np.array([3000], np.uint16),
+            np.array([9], np.uint8), model.n_cols)
+        p2 = dataio.encode_vlp16_packets(
+            ring[1:], col[1:], np.array([1500], np.uint16),
+            np.array([7], np.uint8), model.n_cols)
+        rq, iq, _ = dataio.vlp16_decode(p1 + p2, model)
+        assert rq[4, 10] == 1500
+        assert iq[4, 10] == 7
+
+    def test_packed_prefetch_reader(self, kitti_files):
+        """The native packed ring yields exactly grid_pack of each file's
+        points, in order, and feeds unpack_frame cleanly."""
+        if not dataio.native_available():
+            pytest.skip("native library unavailable")
+        import jax.numpy as jnp
+
+        from mloam_tpu.core import rangeimage as RI
+
+        model = self._model()
+        _, paths = kitti_files
+        reader = dataio.PackedPrefetchReader(paths, model, "kitti",
+                                             max_pts=4096)
+        got = list(reader)
+        reader.close()
+        assert len(got) == len(paths)
+        for path, (rq, iq) in zip(paths, got):
+            pts = dataio.read_kitti_bin(path, 4096)
+            exp_rq, exp_iq = dataio.grid_pack(pts, model)
+            np.testing.assert_array_equal(rq, exp_rq)
+            np.testing.assert_array_equal(iq, exp_iq)
+        # wire buffers reconstruct into a consistent RangeImage on device
+        img = RI.unpack_frame(
+            RI.PackedFrame(jnp.asarray(got[0][0]), jnp.asarray(got[0][1])),
+            RI.unit_rays(model), model)
+        assert bool(jnp.any(img.valid))
+        r = np.asarray(img.rng[np.asarray(img.valid)])
+        assert (r > model.min_range).all() and (r < model.max_range).all()
