@@ -77,9 +77,10 @@ class OdometryConfig:
     window_size: int = 6
     opt_window_size: int = 3
     # ATE-validated budget trims (demos/ate_variants.py: gentle + aggressive
-    # synthetic motion, 2 seeds): 5->4 then 4->3 both ATE-neutral; the warm
-    # start from the previous marginalized window does most of the work
-    gn_iters: int = 3
+    # synthetic motion, 2 seeds): 5->4, 4->3, then 3->2 all ATE-neutral
+    # (gentle 0.92/0.82 identical, aggressive 4.22/4.02 vs 4.19/4.03); the
+    # warm start from the previous marginalized window does most of the work
+    gn_iters: int = 2
     # one correspondence round suffices: unlike the reference (Ceres starts
     # cold each frame, hence 2 rebuild rounds), the window is warm-started
     # from the previous marginalization; verified ATE-neutral on gentle and

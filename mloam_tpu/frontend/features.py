@@ -157,6 +157,48 @@ def _local_extreme(curv: jnp.ndarray, usable: jnp.ndarray, radius: int,
     return usable & (v >= best) & jnp.isfinite(v)
 
 
+def _pick_per_sector_multi(
+    img: RangeImage,
+    score: jnp.ndarray,
+    classes: list[tuple[jnp.ndarray, int, bool]],
+    n_sectors: int,
+) -> list[FeatCloud]:
+    """Masked top-k (or bottom-k) per (ring, sector) for several feature
+    classes in ONE ``lax.top_k`` dispatch: the class score planes stack on a
+    leading axis and share a single k = max(k_i) selection (the per-sector
+    candidate sets after NMS are small, so the shared k costs little and
+    saves two reduction kernels per sweep). ``classes`` is a list of
+    (eligible_mask, k, largest); returns one fixed-size FeatCloud of
+    capacity R * n_sectors * k_i per class."""
+    r, c = score.shape
+    s = n_sectors
+    w = c // s
+    assert w * s == c, "n_cols must divide by n_sectors"
+    k_max = max(k for _, k, _ in classes)
+    planes = [
+        jnp.where(eligible, score if largest else -score, -jnp.inf)
+        for eligible, _, largest in classes
+    ]
+    sc = jnp.stack(planes).reshape(len(classes), r, s, w)
+    vals, idx = jax.lax.top_k(sc, k_max)       # [B, R, S, k_max]
+    ok = jnp.isfinite(vals)
+    cols = idx + (jnp.arange(s) * w)[None, None, :, None]
+    rows = jnp.broadcast_to(jnp.arange(r)[None, :, None, None], cols.shape)
+    outs = []
+    for b, (_, k, _) in enumerate(classes):
+        cb, rb, okb = cols[b, :, :, :k], rows[b, :, :, :k], ok[b, :, :, :k]
+        xyz = img.xyz[rb, cb]
+        time = img.time[rb, cb]
+        n = r * s * k
+        outs.append(FeatCloud(
+            xyz=jnp.where(okb[..., None], xyz, 0.0).reshape(n, 3),
+            mask=okb.reshape(n),
+            time=time.reshape(n),
+            ring=rb.reshape(n).astype(jnp.int32),
+        ))
+    return outs
+
+
 def _pick_per_sector(
     img: RangeImage,
     score: jnp.ndarray,
@@ -165,31 +207,10 @@ def _pick_per_sector(
     k: int,
     largest: bool,
 ) -> FeatCloud:
-    """Masked top-k (or bottom-k) per (ring, sector); returns a fixed-size
-    FeatCloud of capacity R * n_sectors * k."""
-    r, c = score.shape
-    s = n_sectors
-    w = c // s
-    assert w * s == c, "n_cols must divide by n_sectors"
-    sc = jnp.where(eligible, score, -jnp.inf if largest else jnp.inf)
-    sc = sc.reshape(r, s, w)
-    if largest:
-        vals, idx = jax.lax.top_k(sc, k)
-        ok = jnp.isfinite(vals)
-    else:
-        vals, idx = jax.lax.top_k(-sc, k)
-        ok = jnp.isfinite(vals)
-    cols = idx + (jnp.arange(s) * w)[None, :, None]  # [R, S, k] column index
-    rows = jnp.broadcast_to(jnp.arange(r)[:, None, None], cols.shape)
-    xyz = img.xyz[rows, cols]
-    time = img.time[rows, cols]
-    n = r * s * k
-    return FeatCloud(
-        xyz=jnp.where(ok[..., None], xyz, 0.0).reshape(n, 3),
-        mask=ok.reshape(n),
-        time=time.reshape(n),
-        ring=rows.reshape(n).astype(jnp.int32),
-    )
+    """Single-class form of ``_pick_per_sector_multi``."""
+    return _pick_per_sector_multi(
+        img, score, [(eligible, k, largest)], n_sectors
+    )[0]
 
 
 def _stride_to_cap(xyz, mask, payload, cap: int):
@@ -244,11 +265,13 @@ def extract(img: RangeImage, segmented: jnp.ndarray,
     less_sharp_elig = edge_cand & _local_extreme(curv, edge_cand, 2, "max")
     flat_elig = surf_cand & _local_extreme(curv, surf_cand, cfg.curvature_half_window, "min")
 
-    sharp = _pick_per_sector(img, curv, sharp_elig, cfg.n_sectors, cfg.max_sharp, True)
-    less_sharp = _pick_per_sector(
-        img, curv, less_sharp_elig, cfg.n_sectors, cfg.max_less_sharp, True
+    sharp, less_sharp, flat = _pick_per_sector_multi(
+        img, curv,
+        [(sharp_elig, cfg.max_sharp, True),
+         (less_sharp_elig, cfg.max_less_sharp, True),
+         (flat_elig, cfg.max_flat, False)],
+        cfg.n_sectors,
     )
-    flat = _pick_per_sector(img, curv, flat_elig, cfg.n_sectors, cfg.max_flat, False)
 
     # less-flat: every surf candidate, voxel-downsampled to a fixed capacity.
     # Sort-free compaction first: the voxel argsort over the full range image
