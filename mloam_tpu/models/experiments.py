@@ -2,14 +2,15 @@
 
 Counterpart of the reference's ``estimator/script/run_mloam.py`` programs
 (:207-283): single_test/single_eval (one run + ATE/RPE), mc_test (Monte-
-Carlo over trials :95-163), and inject_ext_uct_test (extrinsic perturbation
-levels gt/ref/cad/ini/inj :167-205) — driving simulated sequences instead of
-rosbag replay, with the in-repo evaluation stack instead of
-rpg_trajectory_evaluation.
+Carlo over trials :95-163), calib_test (online-calibration lifecycle), and
+inject_ext_uct_test (extrinsic perturbation levels gt/ref/cad/ini/inj
+:167-205) — driving simulated sequences instead of rosbag replay, with the
+in-repo evaluation stack instead of rpg_trajectory_evaluation.
 
 Usage:
     python -m mloam_tpu.models.experiments single --frames 40
     python -m mloam_tpu.models.experiments mc --trials 3 --frames 30
+    python -m mloam_tpu.models.experiments calib
     python -m mloam_tpu.models.experiments inject_ext --frames 30
 Results land in results/<program>/ as TUM trajectories + summary JSON.
 """
@@ -169,6 +170,66 @@ def inject_ext_test(args):
         json.dump(summary, f, indent=2)
 
 
+def calib_test(args):
+    """Online extrinsic-calibration lifecycle program (the reference's
+    calib_test in run_mloam.py: ESTIMATE_EXTRINSIC 2 -> 1 -> 0). Dual-lidar
+    rig with a fully unknown second extrinsic; records the mode-transition
+    frames, the per-frame extrinsic error trace (the extrinsic_parameter.txt
+    / initialization.txt counterpart) and the final error + covariance."""
+    X_true = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+    cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=2)
+    pipe = FullPipeline(cfg)
+
+    w = W.make_world(jax.random.PRNGKey(args.seed))
+    # rotation-rich motion: the screw-motion consistency filter needs
+    # orientation excitation to accumulate hand-eye pose pairs and push the
+    # rotation system's second singular value over the 0.25 gate (reference
+    # initial_extrinsics.cpp:104-116,58 — calibration NEEDS excited motion;
+    # at wobble 0.1 sigma2 only reaches ~0.18 in 45 frames)
+    traj = W.make_trajectory(jax.random.PRNGKey(args.seed + 1), wobble=0.25)
+    model = cfg.rig.models[0]
+    seqs = [W.render_sequence(w, traj, model, args.frames),
+            W.render_sequence(w, traj, model, args.frames, extrinsic=X_true)]
+
+    d = _outdir("calib")
+    trace = []
+    transitions = {}
+    for i in range(args.frames):
+        frames = [
+            RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+            for imgs, _ in seqs
+        ]
+        out = pipe.process(frames)
+        mode = int(out.odom.ext_mode)
+        ext1 = Pose(out.odom.extrinsics.q[1], out.odom.extrinsics.t[1])
+        err = np.asarray(se3.boxminus(ext1, X_true))
+        # se3 tangent layout: [:3] = rho (translation), [3:] = phi (rotation)
+        pos_err = float(np.linalg.norm(err[:3]))
+        rot_err = float(np.linalg.norm(err[3:]))
+        trace.append({"frame": i, "mode": mode,
+                      "rot_err_rad": rot_err, "pos_err_m": pos_err})
+        if mode < 2 and "init_done" not in transitions:
+            transitions["init_done"] = i          # 2 -> 1 (hand-eye seeded)
+        if mode == 0 and "frozen" not in transitions:
+            transitions["frozen"] = i             # 1 -> 0 (voting freeze)
+    with open(os.path.join(d, "extrinsic_trace.json"), "w") as f:
+        json.dump(trace, f, indent=2)
+    cov = pipe.odom.ext_cov
+    summary = {
+        "frames": args.frames,
+        "final_mode": trace[-1]["mode"],
+        "transitions": transitions,
+        "final_rot_err_rad": trace[-1]["rot_err_rad"],
+        "final_pos_err_m": trace[-1]["pos_err_m"],
+        # ext_cov holds non-reference lidars only: lidar 1 -> index 0
+        "ext_cov_trace": (float(np.trace(cov[0])) if cov is not None
+                          else None),
+    }
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
 def scaling_test(args):
     """Distributed-BA scaling harness: factor-sharded PGO throughput at
     1..N devices (BASELINE target: >=80% scaling efficiency).
@@ -304,9 +365,12 @@ def slam_test(args):
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="program", required=True)
-    for name in ("single", "mc", "inject_ext", "scaling", "slam"):
+    for name in ("single", "mc", "calib", "inject_ext", "scaling", "slam"):
         p = sub.add_parser(name)
-        p.add_argument("--frames", type=int, default=30)
+        # calib needs runway: hand-eye pair accumulation + sigma2 gate
+        # (~40 frames at wobble 0.25), then n_calib_samples voting frames
+        p.add_argument("--frames", type=int,
+                       default=90 if name == "calib" else 30)
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--lidars", type=int, default=1)
         if name == "mc":
@@ -314,8 +378,9 @@ def main():
         if name == "scaling":
             p.add_argument("--poses", type=int, default=256)
     args = ap.parse_args()
-    {"single": single_test, "mc": mc_test, "inject_ext": inject_ext_test,
-     "scaling": scaling_test, "slam": slam_test}[args.program](args)
+    {"single": single_test, "mc": mc_test, "calib": calib_test,
+     "inject_ext": inject_ext_test, "scaling": scaling_test,
+     "slam": slam_test}[args.program](args)
 
 
 if __name__ == "__main__":

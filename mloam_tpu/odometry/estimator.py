@@ -102,11 +102,18 @@ def prior_dim(cfg: MloamConfig, calibrate_ext: bool) -> int:
 def reset_prior(state: WindowState, cfg: MloamConfig,
                 calibrate_ext: bool) -> WindowState:
     """Re-initialize the prior to the shape of the given mode (used at
-    ESTIMATE_EXTRINSIC mode transitions)."""
+    ESTIMATE_EXTRINSIC mode transitions).
+
+    The linearization points are *copies* of the current poses/extrinsics:
+    aliasing them to the live buffers makes the window pytree carry the same
+    device buffer in two leaves, and the next donated fused-step dispatch
+    (jit donate_argnums=(0,)) fails with "attempt to donate the same buffer
+    twice". This function runs eagerly at mode transitions, so the copies
+    cost two tiny h2d-free device ops, once per lifecycle change."""
     return state._replace(
         prior=QuadPrior.empty(prior_dim(cfg, calibrate_ext)),
-        prior_poses=state.poses,
-        prior_ext=state.ext,
+        prior_poses=jax.tree.map(jnp.copy, state.poses),
+        prior_ext=jax.tree.map(jnp.copy, state.ext),
     )
 
 
@@ -137,23 +144,39 @@ def push_frame(
     )
 
 
-def build_local_map(state: WindowState, cfg: MloamConfig):
-    """Project every window sweep's features (all lidars) into the pivot
-    frame and voxel-filter (buildLocalMap, estimator.cpp:1159-1271)."""
+def build_local_map(state: WindowState, cfg: MloamConfig,
+                    map_lidars: tuple[int, ...] | None = None):
+    """Project window sweeps' features into the pivot frame and voxel-filter
+    (buildLocalMap, estimator.cpp:1159-1271).
+
+    ``map_lidars`` restricts which lidars' clouds FORM the map. During
+    online calibration it must be the reference lidar only (the reference's
+    buildCalibMap, estimator.cpp:1067-1156, projects lidar-0 clouds): if a
+    non-reference lidar's own points enter the map, its calib factors match
+    them against themselves — self-consistent at ANY extrinsic, so the
+    extrinsic translation never refines (observed: hand-eye's noisy 0.3 m
+    seed stayed frozen through mode 1). None = all lidars (pure odometry).
+    """
     s = cfg.odometry.window_size + 1
     pivot = s - 1 - cfg.odometry.opt_window_size
     piv_pose = Pose(state.poses.q[pivot], state.poses.t[pivot])
+    L = cfg.rig.n_lidars
+    if map_lidars is None:
+        lidar_ok = jnp.ones((L,), bool)
+    else:
+        lidar_ok = jnp.zeros((L,), bool).at[jnp.array(map_lidars)].set(True)
 
     def project(stack: FeatCloud):
         def per_frame(q, t, xyz, mask, fresh):
             rel = se3.compose(se3.inverse(piv_pose), Pose(q, t))
 
-            def per_lidar(eq, et, x, m):
+            def per_lidar(eq, et, x, m, ok):
                 T = se3.compose(rel, Pose(eq, et))
-                return se3.transform_points(T, x), m
+                return se3.transform_points(T, x), m & ok
 
             return jax.vmap(per_lidar)(
-                state.ext.q, state.ext.t, xyz, mask & fresh[:, None]
+                state.ext.q, state.ext.t, xyz, mask & fresh[:, None],
+                lidar_ok,
             )
 
         s_idx = jnp.arange(s)
@@ -230,7 +253,11 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
     if lidars is None:
         lidars = tuple(range(L))
 
-    c_map, c_mmask, s_map, s_mmask = build_local_map(state, cfg)
+    # calib mode: the map is formed by the reference lidar only
+    # (buildCalibMap semantics — see build_local_map docstring)
+    c_map, c_mmask, s_map, s_mmask = build_local_map(
+        state, cfg, map_lidars=(0,) if calibrate_ext else None
+    )
     pivot_init = Pose(state.poses.q[pivot], state.poses.t[pivot])
 
     # state under optimization: (poses [S], ext [L])

@@ -122,3 +122,82 @@ class TestOnlineCalibration:
         err = float(jnp.linalg.norm(se3.boxminus(ext1, X_gt)))
         assert err < 0.6 * err0, f"refinement did not converge: {err0} -> {err}"
         assert err < 0.05
+
+
+class TestModeTransitionBuffers:
+    def test_reset_prior_does_not_alias_live_buffers(self):
+        """At a calibration mode transition, reset_prior must deep-copy the
+        linearization points: if prior_poses/prior_ext alias poses/ext, the
+        window pytree carries the same device buffer in two leaves and the
+        next donated fused-step dispatch (jit donate_argnums=(0,)) fails
+        with 'attempt to donate the same buffer twice' (regression: the
+        2->1->0 lifecycle crashed on entering the steady fused path)."""
+        from mloam_tpu.models import platforms
+        from mloam_tpu.odometry import estimator as E
+
+        cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=1)
+        w = E.init_window(
+            cfg, cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
+        )
+        for calibrate_ext in (True, False):
+            r = E.reset_prior(w, cfg, calibrate_ext=calibrate_ext)
+            for a, b in [(r.prior_poses.q, r.poses.q),
+                         (r.prior_poses.t, r.poses.t),
+                         (r.prior_ext.q, r.ext.q),
+                         (r.prior_ext.t, r.ext.t)]:
+                assert (a.unsafe_buffer_pointer()
+                        != b.unsafe_buffer_pointer()), \
+                    "prior linearization point aliases the live buffer"
+
+
+class TestCalibMapLidarRestriction:
+    def test_calib_map_excludes_nonref_lidar(self):
+        """In calibration mode the local map is formed by the REFERENCE
+        lidar only (buildCalibMap, estimator.cpp:1067-1156): if the target
+        lidar's own points enter the map, its calib factors match them
+        against themselves — self-consistent at any extrinsic — and the
+        refinement never moves (regression: hand-eye's noisy 0.3 m
+        translation seed survived all of mode 1; with the restriction the
+        lifecycle converges to ~4 mm / 1.5 mrad)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mloam_tpu.frontend.features import FeatCloud
+        from mloam_tpu.models import platforms
+        from mloam_tpu.odometry import estimator as E
+
+        cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=1)
+        nc, ns = cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
+        w = E.init_window(cfg, nc, ns)
+
+        def cloud(n, base):
+            # lidar 0 points near base, lidar 1 points far away (z = +100)
+            xyz0 = base + jax.random.uniform(
+                jax.random.PRNGKey(int(base[0])), (n, 3), minval=-5, maxval=5)
+            xyz1 = xyz0 + jnp.array([0.0, 0.0, 100.0])
+            return FeatCloud(
+                xyz=jnp.stack([xyz0, xyz1]),
+                mask=jnp.ones((2, n), bool),
+                time=jnp.zeros((2, n)),
+                ring=jnp.zeros((2, n), jnp.int32),
+            )
+
+        from mloam_tpu.core.se3 import Pose
+        for i in range(cfg.odometry.window_size + 1):
+            base = jnp.array([float(i), 0.0, 0.0])
+            w = E.push_frame(
+                w, Pose(jnp.array([1.0, 0, 0, 0]), base),
+                cloud(nc, base), cloud(ns, base), cfg,
+            )
+
+        c_map, c_m, s_map, s_m = E.build_local_map(w, cfg, map_lidars=(0,))
+        for xyz, m in [(c_map, c_m), (s_map, s_m)]:
+            z = np.asarray(xyz[..., 2])[np.asarray(m)]
+            assert z.size > 0
+            assert z.max() < 50.0, "non-ref lidar points leaked into calib map"
+
+        # default (pure odometry): both lidars form the map
+        c_map, c_m, _, _ = E.build_local_map(w, cfg)
+        z = np.asarray(c_map[..., 2])[np.asarray(c_m)]
+        assert z.max() > 50.0
