@@ -129,6 +129,21 @@ class OdometryPipeline:
             jax.jit(self._fused_multi_impl, donate_argnums=(0,))
             if L > 1 else None
         )
+        # identical sensor models across the rig -> the per-lidar frontends
+        # CAN batch into one vmapped program over the lidar axis (the TPU
+        # counterpart of the reference's OpenMP `parallel for
+        # num_threads(NUM_OF_LASER)` preprocessing loops, estimator.cpp:249).
+        # Measured on-chip (demos/profile_dual.py): the vmapped variant is
+        # ~1 ms/frame SLOWER than the unrolled copies inside the same fused
+        # program (17.2 vs 16.2 ms dual) — vmap puts a grid dimension on the
+        # Pallas segmentation kernel, serializing it, while unrolled copies
+        # pipeline freely. Unrolled is the default; opt in via
+        # MLOAM_BATCH_FE=1 (trajectories are identical — equivalence-tested).
+        self._uniform_rig = (
+            L > 1
+            and all(m == cfg.rig.models[0] for m in cfg.rig.models)
+            and os.environ.get("MLOAM_BATCH_FE", "0") == "1"
+        )
         self._add_pair = jax.jit(
             functools.partial(
                 I.add_pair,
@@ -299,15 +314,25 @@ class OdometryPipeline:
         marginalization in one dispatch (the reference's post-calibration
         path, estimator.cpp:789-848, minus the ROS hops)."""
         L = self.cfg.rig.n_lidars
-        corners, surfs, outliers = [], [], []
-        ff0 = None
-        for l in range(L):
-            ff, c, s, o = self._frontend_impl(imgs[l], l)
-            if l == 0:
-                ff0 = ff
-            corners.append(c)
-            surfs.append(s)
-            outliers.append(o)
+        if self._uniform_rig:
+            stacked = jax.tree.map(lambda *x: jnp.stack(x), *imgs)
+            ffs, cs, ss, outs = jax.vmap(
+                functools.partial(self._frontend_impl, model_idx=0)
+            )(stacked)
+            ff0 = jax.tree.map(lambda x: x[0], ffs)
+            corners = [jax.tree.map(lambda x: x[l], cs) for l in range(L)]
+            surfs = [jax.tree.map(lambda x: x[l], ss) for l in range(L)]
+            outliers = [jax.tree.map(lambda x: x[l], outs) for l in range(L)]
+        else:
+            corners, surfs, outliers = [], [], []
+            ff0 = None
+            for l in range(L):
+                ff, c, s, o = self._frontend_impl(imgs[l], l)
+                if l == 0:
+                    ff0 = ff
+                corners.append(c)
+                surfs.append(s)
+                outliers.append(o)
         if self.cfg.tracker.skip_steady:
             motion = motion0
             desk = (FeatureFrame(

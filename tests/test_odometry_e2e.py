@@ -84,3 +84,49 @@ class TestMultiLidarFusedE2E:
         assert pipe._fused_multi is not None and pipe.ext_mode == 0
         ate = evaluation.ate_rmse(np.stack(est), np.asarray(gt.t[:N_FRAMES]))
         assert ate < 0.05, f"dual-lidar fused ATE {ate*100:.1f} cm"
+
+    def test_batched_frontend_matches_unrolled(self):
+        """The vmapped (uniform-rig) frontend path must produce the same
+        trajectory as the per-lidar unrolled path: same programs, batched
+        over the lidar axis (estimator.cpp:249's OpenMP loop counterpart)."""
+        import os
+
+        from mloam_tpu.core.se3 import Pose
+        from mloam_tpu.odometry import estimator as E
+        from mloam_tpu.sim import world as W
+
+        n = 10
+        cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
+        w = W.make_world(jax.random.PRNGKey(2))
+        traj = W.make_trajectory(jax.random.PRNGKey(3))
+        model = cfg.rig.models[0]
+        X = Pose(
+            jnp.asarray([0.9659258, 0.0, 0.0, 0.258819], jnp.float32),
+            jnp.asarray([0.3, -0.2, 0.1], jnp.float32),
+        )
+        imgs0, gt = W.render_sequence(w, traj, model, n)
+        imgs1, _ = W.render_sequence(w, traj, model, n, extrinsic=X)
+        ext = Pose(jnp.stack([Pose.identity().q, X.q]),
+                   jnp.stack([Pose.identity().t, X.t]))
+
+        def run(batch: str):
+            os.environ["MLOAM_BATCH_FE"] = batch
+            try:
+                pipe = OdometryPipeline(cfg)
+            finally:
+                os.environ.pop("MLOAM_BATCH_FE", None)
+            pipe.window = E.set_extrinsics(pipe.window, ext)
+            est = []
+            for i in range(n):
+                f0 = RangeImage(*[jax.tree.map(lambda x: x[i], f)
+                                  for f in imgs0])
+                f1 = RangeImage(*[jax.tree.map(lambda x: x[i], f)
+                                  for f in imgs1])
+                out = pipe.process([f0, f1])
+                est.append(np.asarray(out.pose.t))
+            return pipe, np.stack(est)
+
+        pipe_b, est_b = run("1")
+        pipe_u, est_u = run("0")
+        assert pipe_b._uniform_rig and not pipe_u._uniform_rig
+        np.testing.assert_allclose(est_b, est_u, atol=1e-5)
