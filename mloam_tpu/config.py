@@ -93,7 +93,12 @@ class OdometryConfig:
     dist_sq_threshold: float = 1.0   # MIN_MATCH_SQ_DIS
     eig_threshold: float = 50.0      # odometry degeneracy lambda init
     gauge_weight: float = 30.0       # weak absolute anchor on the pivot pose
-    gf_ratio: float = 1.0            # good-feature keep ratio (1.0 = all)
+    # good-feature selection inside the window solve (the reference's
+    # goodFeatureMatching runs in optimizeMap's pure-odometry branch,
+    # estimator.cpp:789-848 + 1347-1517): keep ratio over the matched
+    # correspondences, selected by logdet gain (gd). 1.0 = all features.
+    gf_ratio: float = 1.0
+    gf_method: str = "gd"            # gd | rnd | fps (used when gf_ratio < 1)
     # per-frame feature capacities inside the window stacks
     cap_frame_corner: int = 1024
     cap_frame_surf: int = 2048
@@ -155,8 +160,19 @@ class MappingConfig:
     # outlier cloud (segmentation rejects) carried as a third feature class
     # into keyframes for map completeness (reference /laser_cloud_outlier)
     cap_frame_outlier: int = 1024
-    gf_method: str = "full"          # full | rnd | gd (good-feature selection)
+    gf_method: str = "full"          # full | rnd | fps | gd | gd_float
     gf_ratio: float = 1.0
+    # gd_float (lidar_mapper_keyframe.cpp:482-492): when the full-Hessian
+    # logdet drops below this degeneracy threshold, back off the keep ratio
+    # to ``gf_ratio_degraded`` (keep more features where geometry is weak)
+    map_deg_threshold: float = 100.0
+    gf_ratio_degraded: float = 0.8
+    # prior extrinsic covariance diag [rho;phi] applied to non-reference
+    # lidars when no calibrated covariance is available (the reference's
+    # uct_ext yaml block * uct_ext_ratio, parameters.cpp:276-283); the
+    # calibrated covariance installed at the 1->0 freeze overrides it
+    ext_cov_prior_diag: tuple[float, ...] | None = None
+    uct_ext_ratio: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -173,6 +189,12 @@ class LoopConfig:
     history_search_num: int = 25
     skip_interval: int = 5
     pgo_gn_iters: int = 10
+    capacity: int = 256              # keyframe slots in the loop graph
+    max_loop_edges: int = 128        # loop-edge slots (overflow drops)
+    # 4-DoF PGO (the reference's FourDOFError variants,
+    # pose_graph.h:199-289): optimize (x, y, z, yaw) only, roll/pitch held
+    # at their odometry estimates. False = full 6-DoF edges.
+    dof4: bool = False
     # priorless global registration (FFT yaw-sweep correlation) as a second
     # seed for geometric verification — covers loops whose odometry drift
     # exceeds the pose-seeded convergence basin (the reference's FGR role)

@@ -50,7 +50,9 @@ class LoopGraphState(NamedTuple):
 
 
 def init_state(capacity: int, cap_corner: int, cap_surf: int,
-               cfg: LoopConfig, max_loops: int = 64) -> LoopGraphState:
+               cfg: LoopConfig, max_loops: int | None = None) -> LoopGraphState:
+    if max_loops is None:
+        max_loops = cfg.max_loop_edges
     return LoopGraphState(
         poses=Pose.identity((capacity,)),
         odom_poses=Pose.identity((capacity,)),
@@ -76,14 +78,17 @@ def init_state(capacity: int, cap_corner: int, cap_surf: int,
 
 def add_keyframe(state: LoopGraphState, pose: Pose, corner: FeatCloud,
                  surf: FeatCloud, cfg: LoopConfig) -> LoopGraphState:
-    """Append a keyframe (capacity overflow drops new frames — the capacity
-    should be sized to the sequence)."""
+    """Append a keyframe. At capacity new keyframes are DROPPED whole — no
+    slot is overwritten (the reference keeps an unbounded keyframe list,
+    pose_graph.cpp:92-328; with fixed device shapes the honest equivalent is
+    a hard cap sized to the sequence, surfaced to the host via ``count``)."""
     k = state.valid.shape[0]
+    ok = state.count < k
     i = jnp.minimum(state.count, k - 1)
     merged = jnp.concatenate([corner.xyz, surf.xyz])
     merged_mask = jnp.concatenate([corner.mask, surf.mask])
     desc = SC.make_descriptor(merged, merged_mask, cfg)
-    return state._replace(
+    new = state._replace(
         poses=Pose(state.poses.q.at[i].set(pose.q),
                    state.poses.t.at[i].set(pose.t)),
         odom_poses=Pose(state.odom_poses.q.at[i].set(pose.q),
@@ -94,6 +99,7 @@ def add_keyframe(state: LoopGraphState, pose: Pose, corner: FeatCloud,
         valid=state.valid.at[i].set(True),
         count=state.count + 1,
     )
+    return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, state)
 
 
 def _local_map(state: LoopGraphState, center_idx, half: int, n_kf: int,
@@ -182,8 +188,10 @@ def try_close_loop(state: LoopGraphState, query_idx: jnp.ndarray,
 
 
 def record_loop(state: LoopGraphState, found, i, j, zq, zt) -> LoopGraphState:
-    """Append an accepted loop edge (i = candidate/earlier, j = query)."""
+    """Append an accepted loop edge (i = candidate/earlier, j = query).
+    At capacity new edges are dropped (never overwrite a recorded edge)."""
     e = state.loop_valid.shape[0]
+    found = found & (state.n_loops < e)
     s = jnp.minimum(state.n_loops, e - 1)
     upd = lambda a, v: jnp.where(found, a.at[s].set(v), a)
     return state._replace(
@@ -222,11 +230,11 @@ def build_edges(state: LoopGraphState, seq_weight: float = 1.0,
 
 
 def optimize(state: LoopGraphState, iters: int = 10,
-             mesh=None) -> LoopGraphState:
+             mesh=None, dof4: bool = False) -> LoopGraphState:
     """Run PGO over all keyframes; anchor the first."""
     edges = build_edges(state)
     new_poses = PG.optimize_pose_graph(
-        state.poses, edges, iters=iters, anchor_idx=0, mesh=mesh
+        state.poses, edges, iters=iters, anchor_idx=0, mesh=mesh, dof4=dof4
     )
     keep = state.valid[:, None]
     return state._replace(

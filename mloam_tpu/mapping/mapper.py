@@ -61,9 +61,16 @@ class MapperState(NamedTuple):
     db: KF.KeyframeDB
     pose_map_odom: Pose   # map <- odom drift correction
     last_kf_pose: Pose
-    ext_cov: jnp.ndarray  # [6, 6] extrinsic covariance (uncertainty source)
+    # [L, 6, 6] per-lidar extrinsic covariance — THE uncertainty source of
+    # uncertainty-aware mapping (the reference's COV_EXT, fed live from
+    # /extrinsics after calibration converges, lidar_mapper_keyframe.cpp:
+    # 1028-1046). Installed from config priors (uct_ext yaml counterpart)
+    # at init and overwritten with the calibrated covariance at the 1->0
+    # freeze (FullPipeline plumbs OdometryPipeline.ext_cov here).
+    ext_cov: jnp.ndarray
     cov_meas: jnp.ndarray  # [3, 3] measurement covariance
     cache: SurroundMap
+    step: jnp.ndarray     # scalar int32 mapping-step counter (PRNG stream)
 
 
 class MapperOutput(NamedTuple):
@@ -74,6 +81,39 @@ class MapperOutput(NamedTuple):
     n_surf: jnp.ndarray
     eig_min: jnp.ndarray
     inserted_kf: jnp.ndarray  # bool
+
+
+def default_ext_cov(cfg: MloamConfig) -> jnp.ndarray:
+    """[L, 6, 6] prior extrinsic covariance: zeros for the reference lidar,
+    the configured uct_ext diagonal (scaled by uct_ext_ratio) for the rest —
+    the reference's COV_EXT initialization (parameters.cpp:276-283)."""
+    L = cfg.rig.n_lidars
+    mc = cfg.mapping
+    ec = jnp.zeros((L, 6, 6))
+    if mc.ext_cov_prior_diag is not None and L > 1:
+        d = jnp.diag(jnp.asarray(mc.ext_cov_prior_diag, jnp.float32))
+        ec = ec.at[1:].set(mc.uct_ext_ratio * d)
+    return ec
+
+
+def _point_cov(xyz: jnp.ndarray, pose: Pose, base_cov: jnp.ndarray,
+               ext_cov: jnp.ndarray, cov_meas: jnp.ndarray) -> jnp.ndarray:
+    """Per-point 3x3 covariance pushforward with PER-LIDAR extrinsic
+    covariance: clouds here are the per-lidar features concatenated in lidar
+    order with equal segment sizes (FullPipeline._merge), so segment l gets
+    pose covariance ``base_cov + ext_cov[l]``. Falls back to the lidar-mean
+    extrinsic covariance when the cloud isn't an even concatenation."""
+    L = ext_cov.shape[0]
+    n = xyz.shape[0]
+    if L == 1 or n % L != 0:
+        cov6 = base_cov + jnp.mean(ext_cov, axis=0)
+        return uncertainty.point_cov_pushforward(xyz, pose, cov6, cov_meas)
+    per = jax.vmap(
+        lambda x, ec: uncertainty.point_cov_pushforward(
+            x, pose, base_cov + ec, cov_meas
+        )
+    )(xyz.reshape(L, n // L, 3), ext_cov)
+    return per.reshape(n, 3, 3)
 
 
 def init_state(cfg: MloamConfig) -> MapperState:
@@ -89,7 +129,7 @@ def init_state(cfg: MloamConfig) -> MapperState:
         pose_map_odom=Pose.identity(),
         last_kf_pose=Pose(jnp.array([1.0, 0, 0, 0]),
                           jnp.array([1e6, 1e6, 1e6])),  # force first keyframe
-        ext_cov=jnp.zeros((6, 6)),
+        ext_cov=default_ext_cov(cfg),
         cov_meas=1e-4 * jnp.eye(3),
         cache=SurroundMap(
             c_xyz=jnp.zeros((mc.cap_map_corner, 3)),
@@ -100,6 +140,7 @@ def init_state(cfg: MloamConfig) -> MapperState:
             head=jnp.asarray(-1, jnp.int32),
             valid=jnp.asarray(False),
         ),
+        step=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -120,9 +161,7 @@ def _assemble_map(state: MapperState, center: jnp.ndarray, cfg: MloamConfig,
         def per_kf(q, t, c, x, m):
             pose = Pose(q, t)
             y = se3.transform_points(pose, x)
-            cov_pt = uncertainty.point_cov_pushforward(
-                x, pose, c + state.ext_cov, state.cov_meas
-            )
+            cov_pt = _point_cov(x, pose, c, state.ext_cov, state.cov_meas)
             return y, cov_pt, m
 
         y, cov_pt, m = jax.vmap(per_kf)(q, t, cov_pose, xyz, mask)
@@ -207,8 +246,9 @@ def scan_to_map(
 
     # current-scan uncertainty gate (downsampleCurrentScan :356-421)
     def gate(fc: FeatCloud):
-        cov_pt = uncertainty.point_cov_pushforward(
-            fc.xyz, Pose.identity(), state.ext_cov, state.cov_meas
+        cov_pt = _point_cov(
+            fc.xyz, Pose.identity(), jnp.zeros((6, 6)), state.ext_cov,
+            state.cov_meas,
         )
         tr = jnp.trace(cov_pt, axis1=-2, axis2=-1)
         keep = fc.mask & (tr < mc.trace_threshold)
@@ -237,12 +277,37 @@ def scan_to_map(
         pc = pc._replace(w=pc.w * w_unc)
         # good-feature selection (ActiveFeatureSelection methods,
         # lidar_mapper.h:126-631)
-        if mc.gf_method != "full" and mc.gf_ratio < 1.0:
+        if mc.gf_method == "gd_float":
+            # budget-adaptive ratio (lidar_mapper_keyframe.cpp:456-492):
+            # evaluate the full-Hessian logdet of ALL matched features; when
+            # the geometry is weak (logdet below map_deg_threshold) back off
+            # to the degraded (higher) keep ratio, else use the aggressive
+            # configured one. All-batched — the reference's every-10-frames
+            # probe exists only to amortize CPU cost.
             from mloam_tpu.solver import feature_selection as FS
 
+            Jp = FS.plane_jacobian_blocks(pc, pose)
+            Je = FS.edge_jacobian_blocks(ec, pose)
+            vp = (pc.w > 0).astype(jnp.float32)
+            ve = (ec.w > 0).astype(jnp.float32)
+            Hfull = (jnp.einsum("n,ni,nj->ij", vp, Jp, Jp)
+                     + jnp.einsum("n,nai,naj->ij", ve, Je, Je)
+                     + 1e-6 * jnp.eye(6))
+            _, ld = jnp.linalg.slogdet(Hfull)
+            ratio = jnp.where(ld > mc.map_deg_threshold,
+                              mc.gf_ratio, mc.gf_ratio_degraded)
+            keep_p, keep_e = FS.logdet_gain_select(Jp, pc.w, Je, ec.w, ratio)
+            pc = pc._replace(w=pc.w * keep_p.astype(pc.w.dtype))
+            ec = ec._replace(w=ec.w * keep_e.astype(ec.w.dtype))
+        elif mc.gf_method != "full" and mc.gf_ratio < 1.0:
+            from mloam_tpu.solver import feature_selection as FS
+
+            # fold the mapping-step counter into the stream so the 'rnd'
+            # Bernoulli mask differs every step (a constant key would apply
+            # the SAME mask every frame, defeating variance averaging)
             pc, ec = FS.apply_selection(
                 pc, ec, pose, mc.gf_method, mc.gf_ratio,
-                key=jax.random.PRNGKey(0),
+                key=jax.random.fold_in(jax.random.PRNGKey(17), state.step),
             )
 
         def linearize_fn(T: Pose):
@@ -339,7 +404,8 @@ def mapper_step(
     )
 
     new_state = state._replace(
-        db=db, pose_map_odom=pose_map_odom, last_kf_pose=last_kf
+        db=db, pose_map_odom=pose_map_odom, last_kf_pose=last_kf,
+        step=state.step + 1,
     )
     out = MapperOutput(
         pose=pose, cov=cov, cost=cost, n_corner=nc, n_surf=ns,

@@ -47,16 +47,25 @@ PERTURBATION_LEVELS = {
 
 
 def run_sequence(cfg, n_frames: int, seed: int = 0, n_lidars: int = 1,
-                 ext_true: Pose | None = None, pipe=None):
-    """Render + run one sequence; returns dict of metrics + trajectories."""
+                 ext_true: Pose | None = None, pipe=None,
+                 noise_std: float = 0.02):
+    """Render + run one sequence; returns dict of metrics + trajectories.
+
+    ``noise_std``: gaussian range noise in meters, ON by default (0.02 m ≈
+    real VLP-16 range noise) — experiments measure the system under the
+    conditions the reference's noisy-bag generator injects, not a noiseless
+    idealization."""
     w = W.make_world(jax.random.PRNGKey(seed))
     traj = W.make_trajectory(jax.random.PRNGKey(seed + 1), wobble=0.05)
     model = cfg.rig.models[0]
-    seqs = [W.render_sequence(w, traj, model, n_frames)]
+    seqs = [W.render_sequence(w, traj, model, n_frames, noise_std=noise_std,
+                              noise_seed=seed + 1000)]
     gt_poses = seqs[0][1]
     for l in range(1, n_lidars):
         ext = ext_true if ext_true is not None else Pose.identity()
-        seqs.append(W.render_sequence(w, traj, model, n_frames, extrinsic=ext))
+        seqs.append(W.render_sequence(w, traj, model, n_frames, extrinsic=ext,
+                                      noise_std=noise_std,
+                                      noise_seed=seed + 1000 + l))
 
     pipe = pipe or FullPipeline(cfg)
     est_t, est_q, ts = [], [], []
@@ -146,7 +155,12 @@ def mc_test(args):
 
 
 def inject_ext_test(args):
-    """Extrinsic-perturbation robustness ladder (dual-lidar, fixed mode)."""
+    """Extrinsic-perturbation robustness ladder (dual-lidar, fixed mode)
+    with an uncertainty-aware A/B: every level runs once with the mapper
+    fed the TRUE perturbation covariance (ua=on — the reference's
+    ``-with_ua`` flag driven by /extrinsics covariance,
+    lidar_mapper_keyframe.cpp:1028-1046 + run_mloam.py:167-205) and once
+    with zero extrinsic covariance (ua=off)."""
     X_true = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
     d = _outdir("inject_ext")
     summary = {}
@@ -154,30 +168,46 @@ def inject_ext_test(args):
         key = jax.random.PRNGKey(hash(level) % (2**31))
         delta = mag * jax.random.normal(key, (6,))
         X_used = se3.boxplus(X_true, delta)
-        cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
-        pipe = FullPipeline(cfg)
-        from mloam_tpu.odometry import estimator as E
+        entry = {"perturb_norm": float(mag)}
+        for ua in (False, True):
+            cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
+            if ua:
+                cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
+                    cfg.mapping, ext_cov_prior_diag=(max(mag, 1e-4) ** 2,) * 6
+                ))
+            pipe = FullPipeline(cfg)
+            from mloam_tpu.odometry import estimator as E
 
-        ext = Pose(jnp.stack([Pose.identity().q, X_used.q]),
-                   jnp.stack([Pose.identity().t, X_used.t]))
-        pipe.odom.window = E.set_extrinsics(pipe.odom.window, ext)
-        res = run_sequence(cfg, args.frames, seed=args.seed, n_lidars=2,
-                           ext_true=X_true, pipe=pipe)
-        summary[level] = {"perturb_norm": float(mag),
-                          "ate_m": res["ate_m"]}
-        print(f"{level}: perturb {mag:.2f} -> ATE {res['ate_m']*100:.2f} cm")
+            ext = Pose(jnp.stack([Pose.identity().q, X_used.q]),
+                       jnp.stack([Pose.identity().t, X_used.t]))
+            pipe.odom.window = E.set_extrinsics(pipe.odom.window, ext)
+            res = run_sequence(cfg, args.frames, seed=args.seed, n_lidars=2,
+                               ext_true=X_true, pipe=pipe)
+            entry["ate_m_ua" if ua else "ate_m"] = res["ate_m"]
+        summary[level] = entry
+        print(f"{level}: perturb {mag:.2f} -> ATE "
+              f"{entry['ate_m']*100:.2f} cm (ua off) / "
+              f"{entry['ate_m_ua']*100:.2f} cm (ua on)")
     with open(os.path.join(d, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
 
 
 def calib_test(args):
     """Online extrinsic-calibration lifecycle program (the reference's
-    calib_test in run_mloam.py: ESTIMATE_EXTRINSIC 2 -> 1 -> 0). Dual-lidar
-    rig with a fully unknown second extrinsic; records the mode-transition
-    frames, the per-frame extrinsic error trace (the extrinsic_parameter.txt
-    / initialization.txt counterpart) and the final error + covariance."""
-    X_true = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
-    cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=2)
+    calib_test in run_mloam.py: ESTIMATE_EXTRINSIC 2 -> 1 -> 0). L-lidar rig
+    (``--lidars``, default 2; 4 = the Hercules rig with THREE fully unknown
+    extrinsics, rosNodeRVHercules.cpp:262-272) from a fully unknown start;
+    records the mode-transition frames, the per-frame extrinsic error trace
+    (the extrinsic_parameter.txt / initialization.txt counterpart) and the
+    final error + covariance."""
+    L = max(args.lidars, 2)
+    X_true = [
+        se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5])),
+        se3.exp(jnp.array([-0.2, 0.15, -0.05, -0.04, 0.06, -0.4])),
+        se3.exp(jnp.array([0.1, 0.3, 0.02, 0.03, -0.05, 1.0])),
+    ][: L - 1]
+    cfg = platforms.synthetic(n_lidars=L, extrinsic_mode=2)
     pipe = FullPipeline(cfg)
 
     w = W.make_world(jax.random.PRNGKey(args.seed))
@@ -188,10 +218,12 @@ def calib_test(args):
     # at wobble 0.1 sigma2 only reaches ~0.18 in 45 frames)
     traj = W.make_trajectory(jax.random.PRNGKey(args.seed + 1), wobble=0.25)
     model = cfg.rig.models[0]
-    seqs = [W.render_sequence(w, traj, model, args.frames),
-            W.render_sequence(w, traj, model, args.frames, extrinsic=X_true)]
+    seqs = [W.render_sequence(w, traj, model, args.frames)] + [
+        W.render_sequence(w, traj, model, args.frames, extrinsic=X)
+        for X in X_true
+    ]
 
-    d = _outdir("calib")
+    d = _outdir("calib" if L == 2 else f"calib_l{L}")
     trace = []
     transitions = {}
     for i in range(args.frames):
@@ -201,13 +233,16 @@ def calib_test(args):
         ]
         out = pipe.process(frames)
         mode = int(out.odom.ext_mode)
-        ext1 = Pose(out.odom.extrinsics.q[1], out.odom.extrinsics.t[1])
-        err = np.asarray(se3.boxminus(ext1, X_true))
-        # se3 tangent layout: [:3] = rho (translation), [3:] = phi (rotation)
-        pos_err = float(np.linalg.norm(err[:3]))
-        rot_err = float(np.linalg.norm(err[3:]))
+        errs = []
+        for l in range(1, L):
+            ext_l = Pose(out.odom.extrinsics.q[l], out.odom.extrinsics.t[l])
+            # se3 tangent layout: [:3] = rho (trans), [3:] = phi (rot)
+            e = np.asarray(se3.boxminus(ext_l, X_true[l - 1]))
+            errs.append((float(np.linalg.norm(e[3:])),
+                         float(np.linalg.norm(e[:3]))))
         trace.append({"frame": i, "mode": mode,
-                      "rot_err_rad": rot_err, "pos_err_m": pos_err})
+                      "rot_err_rad": [e[0] for e in errs],
+                      "pos_err_m": [e[1] for e in errs]})
         if mode < 2 and "init_done" not in transitions:
             transitions["init_done"] = i          # 2 -> 1 (hand-eye seeded)
         if mode == 0 and "frozen" not in transitions:
@@ -217,73 +252,115 @@ def calib_test(args):
     cov = pipe.odom.ext_cov
     summary = {
         "frames": args.frames,
+        "lidars": L,
         "final_mode": trace[-1]["mode"],
         "transitions": transitions,
         "final_rot_err_rad": trace[-1]["rot_err_rad"],
         "final_pos_err_m": trace[-1]["pos_err_m"],
-        # ext_cov holds non-reference lidars only: lidar 1 -> index 0
-        "ext_cov_trace": (float(np.trace(cov[0])) if cov is not None
-                          else None),
+        # ext_cov holds non-reference lidars only: lidar l -> index l-1
+        "ext_cov_trace": ([float(np.trace(c)) for c in cov]
+                          if cov is not None else None),
+        "mapper_ext_cov_installed": bool(pipe._ext_cov_installed),
     }
     with open(os.path.join(d, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 
 
+def _pgo_comm_compute_model(n_poses: int, n_edges: int, gn_iters: int,
+                            cg_iters: int):
+    """Analytic communication/compute model for the factor-sharded CG-PGO
+    step on TPU v5e-class hardware — the honest substitute for multi-host
+    hardware this environment cannot provide (the CPU virtual mesh shares 2
+    cores, so measured 'scaling' there is meaningless).
+
+    Per GN iteration the replicated state exchanged is:
+      - once: g [N,6] + block-diag [N,6,6] + cost  -> N*(24+144)+4 bytes
+      - per CG iteration: the Hv product [N,6]     -> N*24 bytes
+    Per-shard compute per GN iteration is ~(E/P) * C_edge + cg_iters *
+    (E/P) * C_hv FLOPs, with C_edge ≈ 2.3k FLOPs (linearize: 12-dim jacfwd
+    of a 6-row residual ≈ 13 residual evals ≈ 13*180) and C_hv ≈ 600 FLOPs
+    (two [6x6]·[6] matvecs + scatter). Bandwidth: ICI ~45 GB/s/link
+    all-reduce effective, DCN ~ 6 GB/s/host; v5e peak ~197 TFLOP/s bf16 but
+    these tiny-matrix ops run on the VPU at ~2 TFLOP/s f32 effective.
+    """
+    bytes_once = n_poses * (24 + 144) + 4
+    bytes_per_cg = n_poses * 24
+    bytes_per_gn = bytes_once + cg_iters * bytes_per_cg
+    flops_per_gn = n_edges * 2300 + cg_iters * n_edges * 600
+    vpu_flops = 2.0e12
+    model = {}
+    for name, bw, n_shards in (("ici_8chip", 45e9, 8),
+                               ("dcn_2host", 6e9, 2 * 8)):
+        t_comp = flops_per_gn / n_shards / vpu_flops
+        t_comm = bytes_per_gn / bw
+        eff = t_comp / (t_comp + t_comm)
+        model[name] = {
+            "shards": n_shards,
+            "t_compute_ms_per_gn": t_comp * 1e3,
+            "t_comm_ms_per_gn": t_comm * 1e3,
+            "predicted_efficiency": eff,
+        }
+    model["bytes_psum_per_gn_iter"] = bytes_per_gn
+    model["flops_per_gn_iter"] = flops_per_gn
+    return model
+
+
 def scaling_test(args):
     """Distributed-BA scaling harness: factor-sharded PGO throughput at
-    1..N devices (BASELINE target: >=80% scaling efficiency).
+    1..N devices (BASELINE target: >=80% scaling efficiency) at realistic
+    graph scale (default 1024 poses / ~4k edges), plus the analytic
+    comm/compute model predicting multi-host efficiency.
 
     On a multi-chip mesh the reduction rides ICI; on the CPU test mesh the
     virtual devices share host cores, so efficiency numbers there validate
-    the *mechanism*, not the hardware scaling.
+    the *mechanism* (equivalence + anti-scaling as expected), not the
+    hardware scaling — the model is the evidence for the >=80% target.
     """
+    import __graft_entry__ as G
     from mloam_tpu.parallel import mesh as M
     from mloam_tpu.parallel import sharded_pgo as PG
 
     n_poses = args.poses
-    key = jax.random.PRNGKey(0)
-    step = se3.exp(jnp.array([0.5, 0, 0, 0, 0, 2 * np.pi / n_poses]))
-    gt = [Pose.identity()]
-    for _ in range(n_poses - 1):
-        gt.append(se3.compose(gt[-1], step))
-    # dense-ish graph: sequential + skip-5 + skip-25 edges
-    ei, ej = [], []
-    for sk in (1, 5, 25):
-        ei += list(range(0, n_poses - sk))
-        ej += list(range(sk, n_poses))
-    rels = [se3.relative(gt[a], gt[b]) for a, b in zip(ei, ej)]
-    edges = PG.PoseGraphEdges(
-        i=jnp.array(ei, jnp.int32), j=jnp.array(ej, jnp.int32),
-        z_q=jnp.stack([r.q for r in rels]),
-        z_t=jnp.stack([r.t for r in rels]),
-        weight=jnp.ones((len(ei), 6)),
-    )
-    poses0 = Pose(jnp.stack([p.q for p in gt]), jnp.stack([p.t for p in gt]))
-    noise = 0.02 * jax.random.normal(key, (n_poses, 6))
-    poses0 = jax.vmap(se3.boxplus)(poses0, noise)
-    iters = 10
+    poses0, edges, gt = G.make_city_graph(n_poses, noise=0.02)
+    n_edges = int(edges.i.shape[0])
+    iters = 8
+    cg_iters = max(n_poses // 8, 32)
     n_avail = len(jax.devices())
     results = {}
+    err0 = float(jnp.linalg.norm(poses0.t - gt.t, axis=1).mean())
     for n_dev in [d for d in (1, 2, 4, 8) if d <= n_avail]:
         mesh = M.make_mesh(n_dev) if n_dev > 1 else None
-        f = lambda p: PG.optimize_pose_graph(p, edges, iters=iters, mesh=mesh)
-        jax.block_until_ready(f(poses0))  # compile
+        f = lambda p: PG.optimize_pose_graph(
+            p, edges, iters=iters, mesh=mesh, solver="cg", cg_iters=cg_iters)
+        out = f(poses0)
+        jax.block_until_ready(out)  # compile
+        err1 = float(jnp.linalg.norm(out.t - gt.t, axis=1).mean())
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             out = f(poses0)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
-        eps = len(ei) * iters / dt
-        results[n_dev] = {"edge_iters_per_s": eps, "wall_s": dt}
+        eps = n_edges * iters / dt
+        results[n_dev] = {"edge_iters_per_s": eps, "wall_s": dt,
+                          "err_reduction": err1 / max(err0, 1e-12)}
+        assert err1 < 0.25 * err0, "sharded PGO failed to converge"
         base = results[min(results)]["edge_iters_per_s"]
         eff = eps / (base * n_dev / min(results))
         print(f"devices={n_dev}: {eps:,.0f} edge-iters/s  wall={dt*1e3:.1f}ms"
-              f"  efficiency={eff:.2f}")
+              f"  efficiency={eff:.2f}  err {err0:.3f}->{err1:.3f} m")
     d = _outdir("scaling")
+    summary = {
+        "poses": n_poses, "edges": n_edges,
+        "gn_iters": iters, "cg_iters": cg_iters,
+        "platform": jax.devices()[0].platform,
+        "measured": {str(k): v for k, v in results.items()},
+        "model": _pgo_comm_compute_model(n_poses, n_edges, iters, cg_iters),
+    }
     with open(os.path.join(d, "summary.json"), "w") as f:
-        json.dump({str(k): v for k, v in results.items()}, f, indent=2)
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["model"]))
 
 
 def slam_test(args):
@@ -295,20 +372,39 @@ def slam_test(args):
     from mloam_tpu.models.pipeline import SlamPipeline
     from mloam_tpu.utils import viz
 
-    cfg = platforms.synthetic(n_lidars=args.lidars)
-    cfg = dataclasses.replace(
-        cfg,
-        mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.05,
-                                    keyframe_angle_deg=0.5),
-        loop=dataclasses.replace(cfg.loop, skip_interval=2,
-                                 num_exclude_recent=3),
-    )
-    w = W.make_world(jax.random.PRNGKey(args.seed))
-    traj = W.make_trajectory(jax.random.PRNGKey(args.seed + 1), wobble=0.05)
+    if getattr(args, "traj", "wander") == "loop":
+        # revisiting circular course: exercises the full loop path
+        # (detect -> verify -> record -> PGO -> corrected trajectory)
+        cfg = platforms.synthetic(n_lidars=args.lidars)
+        cfg = dataclasses.replace(
+            cfg,
+            mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.5),
+            loop=dataclasses.replace(cfg.loop, skip_interval=1,
+                                     num_exclude_recent=8,
+                                     loop_distance_threshold=10.0,
+                                     capacity=128),
+        )
+        w = W.make_world(jax.random.PRNGKey(args.seed), extent=30.0,
+                         n_walls=20, n_poles=10)
+        traj = W.make_loop_trajectory(radius=6.0, period_s=10.0)
+    else:
+        cfg = platforms.synthetic(n_lidars=args.lidars)
+        cfg = dataclasses.replace(
+            cfg,
+            mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.05,
+                                        keyframe_angle_deg=0.5),
+            loop=dataclasses.replace(cfg.loop, skip_interval=2,
+                                     num_exclude_recent=3),
+        )
+        w = W.make_world(jax.random.PRNGKey(args.seed))
+        traj = W.make_trajectory(jax.random.PRNGKey(args.seed + 1),
+                                 wobble=0.05)
     model = cfg.rig.models[0]
     imgs, gt_poses = W.render_sequence(w, traj, model, args.frames)
     pipe = SlamPipeline(cfg)
     est_t, est_q, ts = [], [], []
+    kf_gt_idx = []
+    prev_kf = 0
     for i in range(args.frames):
         img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
         with timing.timer("odom_process"):
@@ -317,9 +413,24 @@ def slam_test(args):
         est_t.append(np.asarray(out.full.map_pose.t))
         est_q.append(np.asarray(out.full.map_pose.q))
         ts.append(i * model.scan_period)
+        c = int(jax.device_get(pipe.loop_state.count))
+        if c != prev_kf:
+            kf_gt_idx.append(i)
+            prev_kf = c
     est_t, est_q = np.stack(est_t), np.stack(est_q)
     gt_t = np.asarray(gt_poses.t[: args.frames])
     ate = evaluation.ate_rmse(est_t, gt_t)
+    # loop-corrected keyframe trajectory vs the odometry-fed keyframe poses
+    kf_ate = {}
+    if kf_gt_idx and pipe.n_loops > 0:
+        kf_gt = gt_t[np.asarray(kf_gt_idx)]
+        n = len(kf_gt_idx)
+        odo_kf = np.asarray(jax.device_get(pipe.loop_state.odom_poses.t))[:n]
+        corr_t, _ = pipe.corrected_trajectory()
+        kf_ate = {
+            "kf_ate_odom_m": float(evaluation.ate_rmse(odo_kf, kf_gt)),
+            "kf_ate_corrected_m": float(evaluation.ate_rmse(corr_t[:n], kf_gt)),
+        }
 
     d = _outdir("slam")
     evaluation.save_tum(os.path.join(d, "traj_est.tum"),
@@ -354,33 +465,80 @@ def slam_test(args):
             np.asarray(pipe.loop_state.sc_db.desc[n - 1]),
         )
     summary = {"ate_m": float(ate), "frames": args.frames,
-               "keyframes": n_kf, "loops": pipe.n_loops,
+               "traj": getattr(args, "traj", "wander"),
+               "keyframes": n_kf, "loops": pipe.n_loops, **kf_ate,
+               "platform": jax.devices()[0].platform,
                "timing": timing.all_stats()}
     with open(os.path.join(d, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"ate_m": float(ate), "keyframes": n_kf,
-                      "loops": pipe.n_loops}))
+                      "loops": pipe.n_loops, **kf_ate}))
+
+
+def long_test(args):
+    """Long-sequence endurance run (the reference's full-bag mc_test
+    counterpart): hundreds of frames with range noise, watching the two
+    scale-sensitive mechanisms — marginal-prior consistency (drift must stay
+    sublinear, no overconfidence lock) and keyframe-ring behavior. Exports a
+    drift trace + trajectory plot."""
+    from mloam_tpu.utils import viz
+
+    cfg = platforms.synthetic(n_lidars=args.lidars)
+    res = run_sequence(cfg, args.frames, seed=args.seed,
+                       n_lidars=args.lidars, noise_std=args.noise)
+    err = np.linalg.norm(res["est_t"] - res["gt_t"], axis=1)
+    # drift by 100-frame segment: growth pattern matters more than the total
+    seg = [float(err[min(k + 99, len(err) - 1)])
+           for k in range(0, len(err), 100)]
+    d = _outdir("long")
+    evaluation.save_tum(os.path.join(d, "traj_est.tum"),
+                        res["times"], res["est_t"], res["est_q"])
+    viz.plot_trajectory(os.path.join(d, "trajectory.png"), res["est_t"],
+                        res["gt_t"], title=f"long {args.frames}f "
+                        f"noise={args.noise}")
+    n_kf = int(jax.device_get(res["pipe"].mapper_state.db.head))
+    summary = {
+        "frames": args.frames, "noise_std": args.noise,
+        "ate_m": res["ate_m"], "fps": res["fps"],
+        "err_final_m": float(err[-1]), "err_max_m": float(err.max()),
+        "err_end_of_each_100": seg,
+        "keyframes_inserted": n_kf,
+        "keyframe_ring_wrapped": bool(
+            n_kf > cfg.mapping.max_keyframes),
+        "platform": jax.devices()[0].platform,
+        "timing": timing.all_stats(),
+    }
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in
+                      ("ate_m", "err_final_m", "keyframes_inserted")}))
 
 
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="program", required=True)
-    for name in ("single", "mc", "calib", "inject_ext", "scaling", "slam"):
+    for name in ("single", "mc", "calib", "inject_ext", "scaling", "slam",
+                 "long"):
         p = sub.add_parser(name)
         # calib needs runway: hand-eye pair accumulation + sigma2 gate
         # (~40 frames at wobble 0.25), then n_calib_samples voting frames
         p.add_argument("--frames", type=int,
-                       default=90 if name == "calib" else 30)
+                       default={"calib": 90, "long": 500}.get(name, 30))
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--lidars", type=int, default=1)
         if name == "mc":
             p.add_argument("--trials", type=int, default=3)
         if name == "scaling":
             p.add_argument("--poses", type=int, default=256)
+        if name == "slam":
+            p.add_argument("--traj", choices=("wander", "loop"),
+                           default="wander")
+        if name == "long":
+            p.add_argument("--noise", type=float, default=0.02)
     args = ap.parse_args()
     {"single": single_test, "mc": mc_test, "calib": calib_test,
      "inject_ext": inject_ext_test, "scaling": scaling_test,
-     "slam": slam_test}[args.program](args)
+     "slam": slam_test, "long": long_test}[args.program](args)
 
 
 if __name__ == "__main__":

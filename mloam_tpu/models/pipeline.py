@@ -578,6 +578,24 @@ class FullPipeline:
         )
         self._merge = jax.jit(self._merge_impl)
         self._merge_outlier = jax.jit(self._merge_outlier_impl)
+        # whether the calibrated extrinsic covariance has been installed
+        # into the mapper (the reference mapper reads it live off the
+        # /extrinsics topic once status drops to 0,
+        # lidar_mapper_keyframe.cpp:1028-1046)
+        self._ext_cov_installed = False
+
+    def _install_ext_cov(self):
+        """Plumb the frozen calibration covariance (OdometryPipeline.ext_cov,
+        set at the ESTIMATE_EXTRINSIC 1->0 transition) into the mapper —
+        from then on uncertainty-aware mapping runs on the CALIBRATED
+        extrinsic uncertainty instead of the config prior."""
+        L = self.cfg.rig.n_lidars
+        ec = np.zeros((L, 6, 6), np.float32)
+        ec[1:] = np.asarray(self.odom.ext_cov)
+        self.mapper_state = self.mapper_state._replace(
+            ext_cov=jnp.asarray(ec)
+        )
+        self._ext_cov_installed = True
 
     def _merge_outlier_impl(self, ext: Pose, outliers: tuple):
         """Project per-lidar outlier clouds through the extrinsics into the
@@ -624,6 +642,8 @@ class FullPipeline:
     def process(self, imgs: list[RangeImage]) -> FullOutput:
         cfg = self.cfg
         out = self.odom.process(imgs)
+        if not self._ext_cov_installed and self.odom.ext_cov is not None:
+            self._install_ext_cov()
         idx = self.odom.frame_idx - 1  # frame just processed
         run_map = (
             idx % cfg.mapping.skip_frames == 0
@@ -668,13 +688,13 @@ class SlamPipeline:
     updateKeyframe is a stub there too, lidar_mapper_keyframe.cpp:685).
     """
 
-    def __init__(self, cfg: MloamConfig, loop_capacity: int = 256):
+    def __init__(self, cfg: MloamConfig, loop_capacity: int | None = None):
         from mloam_tpu.loop import posegraph as PGraph
 
         self.cfg = cfg
         self.full = FullPipeline(cfg)
         self.loop_state = PGraph.init_state(
-            loop_capacity,
+            loop_capacity if loop_capacity is not None else cfg.loop.capacity,
             cfg.rig.n_lidars * cfg.odometry.cap_frame_corner,
             cfg.rig.n_lidars * cfg.odometry.cap_frame_surf,
             cfg.loop,
@@ -696,7 +716,8 @@ class SlamPipeline:
         )
         self._record = jax.jit(PGraph.record_loop)
         self._optimize = jax.jit(
-            functools.partial(PGraph.optimize, iters=cfg.loop.pgo_gn_iters)
+            functools.partial(PGraph.optimize, iters=cfg.loop.pgo_gn_iters,
+                              dof4=cfg.loop.dof4)
         )
 
     def _loop_correction_t(self, q_idx: int, cand: int, zt) -> np.ndarray:

@@ -218,6 +218,16 @@ class WindowSolveResult(NamedTuple):
     n_corner: jnp.ndarray
     n_surf: jnp.ndarray
     eig_min: jnp.ndarray  # [O+1] per-opt-pose smallest Hessian eigenvalue
+    # contribution of the per-solve gauge anchor (+ calib extrinsic priors)
+    # to (H, g) at the final linearization point. These rows are re-added
+    # fresh every solve, so they must be EXCLUDED from the marginalized
+    # Hessian — the reference marginalizes only factor blocks in the drop
+    # set (marginalization_factor.cpp:105-144), and neither its gauge (the
+    # prior chain itself) nor its extrinsic PriorFactor touches para_pose[0].
+    # Leaving them in re-bakes absolute-pose information into the prior
+    # every frame (double counting that grows without bound).
+    H_anchor: jnp.ndarray
+    g_anchor: jnp.ndarray
 
 
 def optimize_window(state: WindowState, cfg: MloamConfig,
@@ -363,6 +373,27 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
         plane_corrs = factors.match_map_plane(
             qs_all, proj_s, s_map, s_mmask, oc.dist_sq_threshold
         )
+        if oc.gf_ratio < 1.0:
+            # odometry-side good-feature selection (the reference's
+            # goodFeatureMatching inside optimizeMap's pure-odometry branch,
+            # estimator.cpp:789-848 + 1347-1517): score every matched
+            # correspondence by its logdet gain against the running 6x6
+            # information matrix (per-point Jacobians wrt the chain-pose
+            # tangent — the counterpart of evaluateFeatJacobian) and keep
+            # the top gf_ratio fraction; the rest get zero weight.
+            from mloam_tpu.solver import feature_selection as FS
+
+            Je = factors.edge_point_jacobian(cq, edge_corrs)
+            Jp = factors.plane_point_jacobian(sq, plane_corrs)
+            keep_p, keep_e = FS.logdet_gain_select(
+                Jp, plane_corrs.w, Je, edge_corrs.w, oc.gf_ratio
+            )
+            edge_corrs = edge_corrs._replace(
+                w=edge_corrs.w * keep_e.astype(edge_corrs.w.dtype)
+            )
+            plane_corrs = plane_corrs._replace(
+                w=plane_corrs.w * keep_p.astype(plane_corrs.w.dtype)
+            )
 
         def small_residual(xx):
             """The few non-point rows: gauge anchor + calib extrinsic priors.
@@ -467,7 +498,19 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
         x = st.x
         result = st
 
-    poses, ext = x
+    # re-linearize the anchor/prior rows at the solve's final accepted state
+    # (result.x == result.H's linearization point) so marginalize_pivot can
+    # subtract them exactly — see WindowSolveResult.H_anchor.
+    with jax.default_matmul_precision("highest"):
+        zero = jnp.zeros((dim,), jnp.float32)
+        rsm = small_residual(result.x)
+        Jsm = jax.jacfwd(
+            lambda dx: small_residual(retract(result.x, dx))
+        )(zero)
+        H_anchor = Jsm.T @ Jsm
+        g_anchor = Jsm.T @ rsm
+
+    poses, ext = result.x
     solve = WindowSolveResult(
         H=result.H,
         g=result.g,
@@ -477,6 +520,8 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
         # smallest per-block eigenvalue from the solve's own degeneracy
         # projector (evalDegenracy's lambda, computed once per solve)
         eig_min=result.eig0[:, 0],
+        H_anchor=H_anchor,
+        g_anchor=g_anchor,
     )
     return state._replace(poses=poses, ext=ext), solve
 
@@ -489,7 +534,12 @@ def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
     prior block."""
     O = cfg.odometry.opt_window_size
     dim = prior_dim(cfg, calibrate_ext)
-    small = schur_marginalize_quad(solve.H, solve.g, n_drop=6)
+    # marginalize only the factor blocks + old prior: the per-solve gauge
+    # anchor (and calib extrinsic prior) rows are re-added fresh every solve
+    # and must not be re-baked into the prior (see WindowSolveResult.H_anchor)
+    small = schur_marginalize_quad(
+        solve.H - solve.H_anchor, solve.g - solve.g_anchor, n_drop=6
+    )
     # retained layout after the slide: [poses 0..O-1 | ext...], new pose
     # block O is zero. Old retained layout: [poses 1..O | ext...].
     old_pose = jnp.arange(O * 6)

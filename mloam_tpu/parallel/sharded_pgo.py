@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mloam_tpu.core import rotations as rot
 from mloam_tpu.core import se3
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.parallel.mesh import FACTOR_AXIS, data_axes
@@ -48,23 +49,55 @@ def edge_residual(Ti: Pose, Tj: Pose, z_q, z_t, weight) -> jnp.ndarray:
     return weight * err
 
 
+def _yaw_of(q: jnp.ndarray) -> jnp.ndarray:
+    """Yaw (rotation about world z) of a wxyz quaternion."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+
+
+def boxplus_dof4(T: Pose, d: jnp.ndarray) -> Pose:
+    """4-DoF retraction: world-frame translation + yaw about world z.
+    Tangent layout [dt(3), _, _, dyaw]; the roll/pitch slots are ignored, so
+    those orientations stay EXACTLY at their odometry estimates — the
+    reference's 4-DoF parameterization (pose_graph.h:199-289), not a masked
+    6-DoF update."""
+    zero = jnp.zeros_like(d[5])
+    qy = rot.so3_exp_quat(jnp.stack([zero, zero, d[5]], -1))
+    return Pose(rot.quat_multiply(qy, T.q), T.t + d[:3])
+
+
+def edge_residual_dof4(Ti: Pose, Tj: Pose, z_q, z_t, weight) -> jnp.ndarray:
+    """[4] 4-DoF edge error: relative translation (in frame i) + relative
+    yaw, mirroring the reference's FourDOFError (pose_graph.h:199-242).
+    Roll/pitch error is NOT penalized — the estimator cannot correct it, so
+    penalizing it would bias the observable directions (the flaw of the
+    earlier update-masking variant)."""
+    rel = se3.relative(Ti, Tj)
+    r_t = weight[:3] * (rel.t - z_t)
+    dyaw = _yaw_of(rel.q) - _yaw_of(z_q)
+    dyaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))  # wrap to [-pi, pi]
+    return jnp.concatenate([r_t, (weight[5] * dyaw)[None]])
+
+
 def _linearize_edges(poses: Pose, edges: PoseGraphEdges, anchor_idx: int,
-                     anchor_w: float):
+                     anchor_w: float, dof4: bool = False):
     """Dense (H, g, cost) over the full N*6 tangent from one edge shard."""
     n = poses.q.shape[0]
     dim = n * 6
+    res_fn = edge_residual_dof4 if dof4 else edge_residual
+    retract = boxplus_dof4 if dof4 else se3.boxplus
 
     def per_edge(ei, ej, zq, zt, w):
         Ti = Pose(poses.q[ei], poses.t[ei])
         Tj = Pose(poses.q[ej], poses.t[ej])
 
         def res(xi):
-            return edge_residual(
-                se3.boxplus(Ti, xi[:6]), se3.boxplus(Tj, xi[6:]), zq, zt, w
+            return res_fn(
+                retract(Ti, xi[:6]), retract(Tj, xi[6:]), zq, zt, w
             )
 
         r = res(jnp.zeros(12))
-        J = jax.jacfwd(res)(jnp.zeros(12))  # [6, 12]
+        J = jax.jacfwd(res)(jnp.zeros(12))  # [R, 12]
         return r, J
 
     r, J = jax.vmap(per_edge)(edges.i, edges.j, edges.z_q, edges.z_t, edges.weight)
@@ -103,13 +136,15 @@ def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
     axis or a tuple — e.g. ('host', 'factor') for multi-host), (H, g,
     cost) are psum-reduced across those axes (edges sharded per device).
 
-    ``dof4``: 4-DoF mode — roll/pitch tangent components of the update are
-    zeroed, keeping gravity-aligned orientations from odometry (the
-    reference's 4-DoF factor variants, pose_graph.h:199-289).
+    ``dof4``: true 4-DoF mode — (x, y, z, yaw) variables with 4-row edge
+    residuals and a yaw-only retraction; roll/pitch stay at their odometry
+    estimates and are never penalized (the reference's 4-DoF factor
+    variants, pose_graph.h:199-289).
     """
     n = poses.q.shape[0]
     dim = n * 6
-    H, g, cost = _linearize_edges(poses, edges, anchor_idx, anchor_w)
+    H, g, cost = _linearize_edges(poses, edges, anchor_idx, anchor_w,
+                                  dof4=dof4)
     if axis_name is not None:
         H = jax.lax.psum(H, axis_name)
         g = jax.lax.psum(g, axis_name)
@@ -122,12 +157,10 @@ def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
     Hd = H + jnp.diag(damp)
     L = jnp.linalg.cholesky(Hd + 1e-8 * jnp.eye(dim))
     dx = -jax.scipy.linalg.cho_solve((L, True), g)
-    if dof4:
-        mask = jnp.tile(jnp.array([1.0, 1, 1, 0, 0, 1]), n)
-        dx = dx * mask
+    retract = boxplus_dof4 if dof4 else se3.boxplus
 
     def upd(q, t, i):
-        return se3.boxplus(Pose(q, t), jax.lax.dynamic_slice(dx, (i * 6,), (6,)))
+        return retract(Pose(q, t), jax.lax.dynamic_slice(dx, (i * 6,), (6,)))
 
     new = jax.vmap(lambda q, t, i: upd(q, t, i))(
         poses.q, poses.t, jnp.arange(n)
@@ -135,19 +168,23 @@ def pgo_step(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
     return Pose(new.q, new.t), cost
 
 
-def _linearize_sparse(poses: Pose, edges: PoseGraphEdges):
+def _linearize_sparse(poses: Pose, edges: PoseGraphEdges,
+                      dof4: bool = False):
     """Per-edge residuals + Jacobians, kept in block form (no dense H)."""
+    res_fn = edge_residual_dof4 if dof4 else edge_residual
+    retract = boxplus_dof4 if dof4 else se3.boxplus
+
     def per_edge(ei, ej, zq, zt, w):
         Ti = Pose(poses.q[ei], poses.t[ei])
         Tj = Pose(poses.q[ej], poses.t[ej])
 
         def res(xi):
-            return edge_residual(
-                se3.boxplus(Ti, xi[:6]), se3.boxplus(Tj, xi[6:]), zq, zt, w
+            return res_fn(
+                retract(Ti, xi[:6]), retract(Tj, xi[6:]), zq, zt, w
             )
 
         r = res(jnp.zeros(12))
-        J = jax.jacfwd(res)(jnp.zeros(12))  # [6, 12]
+        J = jax.jacfwd(res)(jnp.zeros(12))  # [R, 12]
         return r, J
 
     return jax.vmap(per_edge)(edges.i, edges.j, edges.z_q, edges.z_t,
@@ -172,7 +209,7 @@ def pgo_step_cg(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
     diag are psum-reduced; v and the CG scalars stay replicated).
     """
     n = poses.q.shape[0]
-    r, J = _linearize_sparse(poses, edges)
+    r, J = _linearize_sparse(poses, edges, dof4=dof4)
     Ji, Jj = J[:, :, :6], J[:, :, 6:]
 
     def reduce_(x):
@@ -232,10 +269,9 @@ def pgo_step_cg(poses: Pose, edges: PoseGraphEdges, anchor_idx: int = 0,
     z0 = jnp.einsum("nij,nj->ni", M_inv, b)
     init = (x0, b, z0, jnp.sum(b * z0))
     dx, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
-    if dof4:
-        dx = dx * jnp.array([1.0, 1, 1, 0, 0, 1])[None, :]
+    retract = boxplus_dof4 if dof4 else se3.boxplus
 
-    new = jax.vmap(lambda q, t, d: se3.boxplus(Pose(q, t), d))(
+    new = jax.vmap(lambda q, t, d: retract(Pose(q, t), d))(
         poses.q, poses.t, dx
     )
     return Pose(new.q, new.t), cost
@@ -249,7 +285,7 @@ def optimize_pose_graph(
     mesh: Mesh | None = None,
     dof4: bool = False,
     solver: str = "auto",
-    cg_iters: int = 32,
+    cg_iters: int | None = None,
 ):
     """Full PGO: ``iters`` damped GN steps. With a mesh, edges are sharded
     over ALL mesh axes and the normal-equation reduction is a psum across
@@ -259,17 +295,20 @@ def optimize_pose_graph(
 
     ``solver``: 'dense' (materialized H + Cholesky), 'cg' (matrix-free
     block-sparse PCG, pgo_step_cg), or 'auto' (cg beyond 128 poses —
-    the dense Hessian grows as (N·6)²)."""
+    the dense Hessian grows as (N·6)²).
+
+    ``cg_iters``: None (default) auto-sizes to the chain-propagation bound
+    n + n/4 — information moves ~1 pose per PCG iteration along a
+    sequential-only graph with a block-Jacobi preconditioner. Graphs rich
+    in skip/loop edges propagate k poses per iteration across a skip-k
+    edge; pass an explicit count to exploit that."""
     n = poses.q.shape[0]
     if solver == "auto":
         # the MXU chews through a dense (N·6)³ Cholesky up to ~512 poses
         # (≤0.5 ms); beyond that the 37+ MB Hessian and cubic solve lose to
         # matrix-free PCG, whose iteration count grows only linearly
         solver = "cg" if n > 512 else "dense"
-    # information propagates ~1 pose per PCG iteration along a chain with a
-    # block-Jacobi preconditioner: iterations must scale with graph size
-    # (still O(N·E) total vs the dense path's O((6N)³) Cholesky)
-    cg_eff = max(cg_iters, n + n // 4)
+    cg_eff = (n + n // 4) if cg_iters is None else cg_iters
 
     def one_step(pp, e, axis_name=None):
         if solver == "cg":

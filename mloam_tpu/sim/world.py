@@ -218,6 +218,19 @@ def make_trajectory(key: jax.Array, speed_scale: float = 1.0,
     return Trajectory(amp, freq, phase, yaw_rate, wobble)
 
 
+def make_loop_trajectory(radius: float = 7.0, period_s: float = 10.0,
+                         wobble: float = 0.0) -> Trajectory:
+    """Closed circular trajectory: one lap every ``period_s`` seconds, with
+    heading tangent to the circle — the sensor revisits every point each lap
+    with matching yaw. The loop-closure replay fixture (counterpart of the
+    reference's revisiting sequences driven through loop_closure_node)."""
+    om = 2.0 * jnp.pi / period_s
+    amp = jnp.array([[radius, radius, 0.0]])
+    freq = jnp.array([om])
+    phase = jnp.array([[jnp.pi / 2.0, 0.0, 0.0]])
+    return Trajectory(amp, freq, phase, yaw_rate=float(om), wobble=wobble)
+
+
 def render_sequence(
     world: World,
     traj: Trajectory,

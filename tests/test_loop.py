@@ -193,3 +193,43 @@ class TestGlobalRegFallback:
         err = float(jnp.linalg.norm(se3.boxminus(
             se3.Pose(zq, zt), Zgt)))
         assert err < 0.3, f"loop edge err {err:.2f}"
+
+
+class TestCapacityOverflow:
+    """At capacity, keyframes and loop edges are DROPPED, never corrupted
+    (round-1 bug: add_keyframe kept rewriting the final slot when full)."""
+
+    def test_keyframe_overflow_drops_new(self):
+        from mloam_tpu.frontend.features import FeatCloud
+
+        lcfg = LoopConfig()
+        state = PGraph.init_state(4, 16, 16, lcfg)
+        key = jax.random.PRNGKey(0)
+        for k in range(6):
+            fc = FeatCloud(
+                xyz=jax.random.normal(jax.random.fold_in(key, k), (16, 3)),
+                mask=jnp.ones(16, bool), time=jnp.zeros(16),
+                ring=jnp.zeros(16, jnp.int32),
+            )
+            pose = Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([float(k), 0, 0]))
+            state = PGraph.add_keyframe(state, pose, fc, fc, lcfg)
+        assert int(state.count) == 4
+        assert bool(state.valid.all())
+        # the FIRST four keyframes are intact; 4 and 5 were dropped whole
+        np.testing.assert_allclose(
+            np.asarray(state.poses.t)[:, 0], [0.0, 1.0, 2.0, 3.0]
+        )
+
+    def test_loop_edge_overflow_drops_new(self):
+        lcfg = LoopConfig(max_loop_edges=2)
+        state = PGraph.init_state(8, 8, 8, lcfg)
+        zq = jnp.array([1.0, 0, 0, 0])
+        zt = jnp.zeros(3)
+        for k in range(4):
+            state = PGraph.record_loop(
+                state, jnp.asarray(True), jnp.asarray(0, jnp.int32),
+                jnp.asarray(k + 1, jnp.int32), zq, zt,
+            )
+        assert int(state.n_loops) == 2
+        np.testing.assert_array_equal(np.asarray(state.loop_j)[:2], [1, 2])
+        assert int(state.loop_valid.sum()) == 2

@@ -95,3 +95,50 @@ class TestFullPipeline:
         # stored outlier points are finite, in-range coordinates
         xyz = np.asarray(db.outlier.xyz)[valid][kf_mask]
         assert np.isfinite(xyz).all()
+
+
+class TestUncertaintyAwareMapping:
+    """The mapper's ext_cov plumbing (the reference's COV_EXT via
+    /extrinsics, lidar_mapper_keyframe.cpp:1028-1046)."""
+
+    def test_default_ext_cov_from_config_prior(self):
+        import dataclasses
+
+        from mloam_tpu.mapping import mapper as MP
+
+        cfg = platforms.synthetic(n_lidars=2)
+        cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
+            cfg.mapping,
+            ext_cov_prior_diag=(1e-3,) * 6, uct_ext_ratio=2.0))
+        ec = np.asarray(MP.default_ext_cov(cfg))
+        assert ec.shape == (2, 6, 6)
+        np.testing.assert_allclose(ec[0], 0.0)        # reference lidar exact
+        np.testing.assert_allclose(np.diag(ec[1]), 2e-3, rtol=1e-6)
+
+    def test_install_ext_cov_overrides_prior(self):
+        cfg = platforms.synthetic(n_lidars=2)
+        pipe = FullPipeline(cfg)
+        assert float(np.abs(np.asarray(pipe.mapper_state.ext_cov)).max()) == 0
+        pipe.odom.ext_cov = 5e-4 * np.eye(6, dtype=np.float32)[None]
+        pipe._install_ext_cov()
+        ec = np.asarray(pipe.mapper_state.ext_cov)
+        np.testing.assert_allclose(ec[0], 0.0)
+        np.testing.assert_allclose(np.diag(ec[1]), 5e-4, rtol=1e-6)
+        assert pipe._ext_cov_installed
+
+    def test_point_cov_per_lidar_segments(self):
+        from mloam_tpu.core.se3 import Pose as _Pose
+        from mloam_tpu.mapping.mapper import _point_cov
+
+        n = 8
+        xyz = jnp.concatenate([
+            jnp.tile(jnp.array([[5.0, 0, 0]]), (n, 1)),
+            jnp.tile(jnp.array([[5.0, 0, 0]]), (n, 1)),
+        ])
+        ext_cov = jnp.stack([jnp.zeros((6, 6)), 1.0 * jnp.eye(6)])
+        cov = _point_cov(xyz, _Pose.identity(), jnp.zeros((6, 6)), ext_cov,
+                         1e-6 * jnp.eye(3))
+        tr = np.asarray(jnp.trace(cov, axis1=-2, axis2=-1))
+        # identical points: only the per-lidar extrinsic covariance differs
+        assert tr[:n].max() < 1e-4
+        assert tr[n:].min() > 1.0  # rotation lever arm at 5 m range

@@ -1,0 +1,95 @@
+"""Full-system integration: SlamPipeline must close loops END-TO-END on a
+revisiting course — detect (scan context) -> verify (registration) ->
+record -> PGO -> corrected trajectory — through the same process() entry a
+deployment uses. Round-1 gap: loop closure was only ever proven at the unit
+level (results/slam showed loops: 0).
+
+Reference counterpart: process 3 (loop_closure_node.cpp:167-291 ->
+pose_graph.cpp:92-328) running in every mc_test."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mloam_tpu.core.rangeimage import RangeImage
+from mloam_tpu.models import platforms
+from mloam_tpu.models.pipeline import SlamPipeline
+from mloam_tpu.sim import world as W
+from mloam_tpu.utils import evaluation
+
+N = 110  # one 100-frame lap + revisit runway
+
+
+@pytest.fixture(scope="module")
+def slam_loop_run():
+    cfg = platforms.synthetic(n_lidars=1)
+    cfg = dataclasses.replace(
+        cfg,
+        mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.5,
+                                    skip_frames=2),
+        loop=dataclasses.replace(
+            cfg.loop, skip_interval=1, num_exclude_recent=8,
+            loop_distance_threshold=10.0, capacity=64,
+            # drift over one simulated lap is far inside the pose-seeded
+            # convergence basin; the priorless global-registration seed is
+            # covered by its own tests (test_loop, test_global_registration)
+            use_global_registration=False,
+        ),
+    )
+    w = W.make_world(jax.random.PRNGKey(3), extent=30.0, n_walls=20,
+                     n_poles=10)
+    traj = W.make_loop_trajectory(radius=6.0, period_s=10.0)
+    model = cfg.rig.models[0]
+    imgs, gt_poses = W.render_sequence(w, traj, model, N)
+    pipe = SlamPipeline(cfg)
+    est_t, kf_gt_idx = [], []
+    prev = 0
+    for i in range(N):
+        img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+        out = pipe.process([img])
+        est_t.append(np.asarray(out.full.map_pose.t))
+        c = int(jax.device_get(pipe.loop_state.count))
+        if c != prev:
+            kf_gt_idx.append(i)
+            prev = c
+    return pipe, np.stack(est_t), np.asarray(gt_poses.t[:N]), kf_gt_idx
+
+
+class TestSlamLoopClosure:
+    def test_loop_fires_through_pipeline(self, slam_loop_run):
+        pipe, est_t, gt_t, kf_gt_idx = slam_loop_run
+        assert pipe.n_loops >= 1, "no loop closed through SlamPipeline"
+        lv = np.asarray(jax.device_get(pipe.loop_state.loop_valid))
+        assert int(lv.sum()) == pipe.n_loops
+        # the loop edge connects the revisit back to the lap start
+        li = np.asarray(jax.device_get(pipe.loop_state.loop_i))[lv]
+        lj = np.asarray(jax.device_get(pipe.loop_state.loop_j))[lv]
+        assert (lj - li).min() >= 8  # temporal separation (not a neighbor)
+
+    def test_corrected_trajectory_quality(self, slam_loop_run):
+        pipe, est_t, gt_t, kf_gt_idx = slam_loop_run
+        n = len(kf_gt_idx)
+        kf_gt = gt_t[np.asarray(kf_gt_idx)]
+        odo_t = np.asarray(jax.device_get(pipe.loop_state.odom_poses.t))[:n]
+        corr_t, corr_q = pipe.corrected_trajectory()
+        assert np.isfinite(corr_t).all() and np.isfinite(corr_q).all()
+        ate_odo = evaluation.ate_rmse(odo_t, kf_gt)
+        ate_corr = evaluation.ate_rmse(corr_t[:n], kf_gt)
+        # PGO must not degrade the keyframe trajectory, and on the closing
+        # segment (where drift is largest) it must actively improve it
+        assert ate_corr <= ate_odo * 1.10, (
+            f"PGO degraded keyframes: {ate_odo*100:.2f} -> "
+            f"{ate_corr*100:.2f} cm")
+        tail = slice(max(n - 6, 0), n)
+        err_odo_tail = np.linalg.norm(odo_t[tail] - kf_gt[tail], axis=1).mean()
+        err_corr_tail = np.linalg.norm(
+            corr_t[:n][tail] - kf_gt[tail], axis=1).mean()
+        assert err_corr_tail <= err_odo_tail * 1.05
+
+    def test_full_trajectory_accuracy(self, slam_loop_run):
+        pipe, est_t, gt_t, kf_gt_idx = slam_loop_run
+        ate = evaluation.ate_rmse(est_t, gt_t)
+        assert ate < 0.25, f"loop-course ATE {ate*100:.1f} cm"

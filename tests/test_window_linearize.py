@@ -193,3 +193,80 @@ class TestLocalMapPrecompaction:
         exp_c, exp_s = self._maps_as_sets(E.build_local_map(state, cfg_off))
         np.testing.assert_allclose(got_c, exp_c, atol=1e-6)
         np.testing.assert_allclose(got_s, exp_s, atol=1e-6)
+
+
+class TestMarginalization:
+    """The marginal prior must carry RELATIVE information only: the per-solve
+    gauge anchor (and calib extrinsic priors) are re-added fresh each frame,
+    so re-baking them into the prior would double-count absolute-pose
+    information without bound (the reference marginalizes only factor blocks
+    in the drop set, marginalization_factor.cpp:105-144)."""
+
+    def _prior_after_marg(self, cfg):
+        state = _make_window(cfg, 1)
+        state, solve = E.optimize_window(state, cfg)
+        state2 = E.marginalize_pivot(state, solve, cfg)
+        return state, state2
+
+    def test_prior_has_no_absolute_information(self):
+        cfg = _small_cfg(1)
+        state, state2 = self._prior_after_marg(cfg)
+        Hp = np.asarray(state2.prior.H)
+        O = cfg.odometry.opt_window_size
+        s = cfg.odometry.window_size + 1
+        pivot = s - 1 - O
+        scale = float(np.trace(Hp))
+
+        def gauge_quad(tang):
+            """v^T Hp v for a global left-shift of every kept pose."""
+            shift = se3.exp(jnp.asarray(tang))
+            v = []
+            for i in range(O):  # kept block i <-> window slot pivot+1+i
+                T = Pose(state2.prior_poses.q[pivot + 1 + i],
+                         state2.prior_poses.t[pivot + 1 + i])
+                v.append(se3.boxminus(se3.compose(shift, T), T))
+            v.append(jnp.zeros(6))  # the new-pose block is empty
+            v = jnp.concatenate(v)
+            vn = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            return float(vn @ jnp.asarray(Hp) @ vn)
+
+        # global translation and global rotation are exact gauge freedoms
+        assert gauge_quad([0.1, 0, 0, 0, 0, 0]) < 1e-4 * scale
+        assert gauge_quad([0, 0, 0.1, 0, 0, 0]) < 1e-4 * scale
+        assert gauge_quad([0, 0, 0, 0, 0, 0.05]) < 1e-4 * scale
+        # ... but a RELATIVE perturbation (moving one kept pose alone) is
+        # penalized: the prior did retain the factor information
+        dim = (O + 1) * 6
+        v1 = np.zeros(dim)
+        v1[0] = 1.0
+        assert float(v1 @ Hp @ v1) > 1e-3 * scale
+
+    def test_anchor_fields_consistent(self):
+        cfg = _small_cfg(1)
+        state = _make_window(cfg, 1)
+        _, solve = E.optimize_window(state, cfg)
+        # the anchor contribution is PSD and much smaller than the factor H
+        Ha = np.asarray(solve.H_anchor)
+        vals = np.linalg.eigvalsh(0.5 * (Ha + Ha.T))
+        assert vals.min() > -1e-3
+        assert np.trace(Ha) < np.trace(np.asarray(solve.H))
+
+
+class TestWindowGoodFeatures:
+    """odometry.gf_ratio must actually subset the window correspondences
+    (reference goodFeatureMatching inside optimizeMap, estimator.cpp:
+    1347-1517) while keeping the solution close to the full solve."""
+
+    def test_gf_ratio_subsets_and_tracks_full_solution(self):
+        cfg = _small_cfg(1)
+        state = _make_window(cfg, 1)
+        st_full, solve_full = E.optimize_window(state, cfg)
+        cfg_gf = cfg.replace(odometry=dataclasses.replace(
+            cfg.odometry, gf_ratio=0.5))
+        st_gf, solve_gf = E.optimize_window(state, cfg_gf)
+        n_full = int(solve_full.n_corner + solve_full.n_surf)
+        n_gf = int(solve_gf.n_corner + solve_gf.n_surf)
+        assert 0.3 * n_full < n_gf < 0.7 * n_full
+        # informative subset: solution within 2 cm / strong rotation agreement
+        dt = np.abs(np.asarray(st_full.poses.t) - np.asarray(st_gf.poses.t))
+        assert dt.max() < 0.02
