@@ -1,0 +1,101 @@
+"""Good-feature-selection trade table: ATE / step-time vs keep ratio.
+
+The reference's goodFeatureMatching exists to SAVE CPU TIME (7 ms budget,
+estimator.h:62; 20 ms mapping, lidar_mapper.h:82) at an accuracy cost. On
+TPU the economics invert: shapes are fixed, so selection cannot shrink the
+solve — the logdet-gain scorer is pure overhead — and the only reason to
+run it is accuracy-under-degeneracy (down-weighting uninformative features)
+or as input to a future compacted solve. This table records the measured
+ATE and per-frame cost of ratio in {1.0, 0.5, 0.2} for the odometry window
+solve and the mapping scan-to-map solve (gd method), informing defaults.
+
+Ref: estimator.cpp:1347-1517 (odom), lidar_mapper.h:229-573 (mapping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_tpu_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from mloam_tpu.core.rangeimage import RangeImage
+from mloam_tpu.models import platforms
+from mloam_tpu.models.pipeline import FullPipeline
+from mloam_tpu.sim import world as W
+from mloam_tpu.utils import evaluation
+
+N_FRAMES = 40
+SEEDS = (0, 3)
+
+
+def run_one(cfg, seed: int):
+    w = W.make_world(jax.random.PRNGKey(seed))
+    traj = W.make_trajectory(jax.random.PRNGKey(seed + 1), wobble=0.05)
+    model = cfg.rig.models[0]
+    imgs, gt = W.render_sequence(w, traj, model, N_FRAMES, noise_std=0.02,
+                                 noise_seed=seed + 1000)
+    pipe = FullPipeline(cfg)
+    est = []
+    t_steady = None
+    for i in range(N_FRAMES):
+        img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+        if i == 10:
+            jax.block_until_ready(est[-1])
+            t_steady = time.perf_counter()
+        out = pipe.process([img])
+        est.append(out.map_pose.t)
+    jax.block_until_ready(est[-1])
+    wall = time.perf_counter() - t_steady
+    est = np.stack([np.asarray(t) for t in est])
+    ate = evaluation.ate_rmse(est, np.asarray(gt.t[:N_FRAMES]))
+    return ate, (N_FRAMES - 10) / wall
+
+
+def main():
+    base = platforms.synthetic(n_lidars=1)
+    table = {}
+    for domain in ("odom", "map"):
+        for ratio in (1.0, 0.5, 0.2):
+            if domain == "odom":
+                cfg = dataclasses.replace(
+                    base, odometry=dataclasses.replace(
+                        base.odometry, gf_ratio=ratio, gf_method="gd"))
+            else:
+                cfg = dataclasses.replace(
+                    base, mapping=dataclasses.replace(
+                        base.mapping, gf_ratio=ratio,
+                        gf_method="full" if ratio >= 1.0 else "gd"))
+            ates, fpss = [], []
+            for s in SEEDS:
+                ate, fps = run_one(cfg, s)
+                ates.append(ate)
+                fpss.append(fps)
+            key = f"{domain}_gf{ratio}"
+            table[key] = {
+                "ate_cm_per_seed": [round(a * 100, 2) for a in ates],
+                "ate_cm_mean": round(float(np.mean(ates)) * 100, 2),
+                "fps_mean": round(float(np.mean(fpss)), 1),
+            }
+            print(key, table[key], flush=True)
+    os.makedirs("results/gf", exist_ok=True)
+    with open("results/gf/summary.json", "w") as f:
+        json.dump({"frames": N_FRAMES, "seeds": list(SEEDS),
+                   "platform": jax.devices()[0].platform,
+                   "table": table}, f, indent=2)
+    print(json.dumps(table))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Regenerate all experiment artifacts (CPU, hermetic) sequentially.
+# Usage: bash demos/run_artifacts.sh [stage ...]   (default: all)
+set -x
+cd /root/repo
+ENV="env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=/root/repo"
+stages=${@:-"slam inject_ext long calib4 scaling single mc gf"}
+
+for s in $stages; do
+  case $s in
+    slam)    timeout 2400 $ENV python -m mloam_tpu.models.experiments slam --traj loop --frames 60 ;;
+    inject_ext) timeout 3600 $ENV python -m mloam_tpu.models.experiments inject_ext --frames 30 ;;
+    long)    timeout 3600 $ENV python -m mloam_tpu.models.experiments long --frames 500 ;;
+    calib4)  timeout 3600 $ENV python -m mloam_tpu.models.experiments calib --lidars 4 --frames 90 ;;
+    scaling) timeout 2400 $ENV env XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+               python -m mloam_tpu.models.experiments scaling --poses 1024 ;;
+    single)  timeout 1200 $ENV python -m mloam_tpu.models.experiments single --frames 40 ;;
+    mc)      timeout 2400 $ENV python -m mloam_tpu.models.experiments mc --trials 3 --frames 30 ;;
+    gf)      timeout 3600 $ENV python demos/gf_tradeoff.py ;;
+  esac
+done
+echo "ALL ARTIFACTS DONE"

@@ -129,6 +129,12 @@ class OdometryPipeline:
             jax.jit(self._fused_multi_impl, donate_argnums=(0,))
             if L > 1 else None
         )
+        # scan-chunked replay path: K fused steps inside ONE dispatch via
+        # lax.scan (identical per-frame math, chained through the window
+        # state). Streaming pays one tunnel dispatch (~3-5 ms) per sweep;
+        # replay (the reference's own operating mode — rosbag play) pays it
+        # once per K sweeps. Compiled lazily on first process_chunk call.
+        self._chunked = jax.jit(self._chunked_impl, donate_argnums=(0,))
         # identical sensor models across the rig -> the per-lidar frontends
         # CAN batch into one vmapped program over the lidar axis (the TPU
         # counterpart of the reference's OpenMP `parallel for
@@ -350,6 +356,59 @@ class OdometryPipeline:
             prev_refined = Pose(window.poses.q[-2], window.poses.t[-2])
             motion = se3.compose(se3.inverse(prev_refined), refined)
         return window, refined, motion, desk, pred, solve, tuple(outliers)
+
+    def _chunked_impl(self, carry, imgs_stacked):
+        """lax.scan over K sweeps of the fused steady-path step (single- or
+        multi-lidar). carry = (window, world_pose, motion0, prev_feat0);
+        imgs_stacked = one (or a tuple of L) pytrees with a leading K axis."""
+        L = self.cfg.rig.n_lidars
+
+        def step(c, xs):
+            window, world, motion, prev = c
+            if L == 1:
+                (window, refined, mot, desk, pred, solve,
+                 outlier) = self._fused_step_impl(
+                    window, world, motion, prev, xs)
+                outliers = (outlier,)
+            else:
+                (window, refined, mot, desk, pred, solve,
+                 outliers) = self._fused_multi_impl(
+                    window, world, motion, prev, xs)
+            ys = (refined.q, refined.t, pred.q, pred.t, solve.cost,
+                  solve.n_corner, solve.n_surf, outliers)
+            return (window, refined, mot, desk), ys
+
+        return jax.lax.scan(step, carry, imgs_stacked)
+
+    def process_chunk(self, imgs_stacked):
+        """Process K synchronized sweeps in ONE device dispatch (replay
+        mode). Preconditions: the steady fused path must be active (warm
+        window, pure odometry) — exactly the conditions of the fast paths in
+        ``process``. ``imgs_stacked``: for L==1 a RangeImage/PackedFrame
+        pytree with a leading K axis; for L>1 a tuple of L such pytrees.
+
+        Returns per-frame stacked (pose_q [K,4], pose_t [K,3], pred_q,
+        pred_t, cost, n_corner, n_surf). State advances exactly as K
+        ``process`` calls would (same programs, same order — bit-identical).
+        """
+        cfg = self.cfg
+        L = cfg.rig.n_lidars
+        assert self.ext_mode == 0 and self.prev_feats[0] is not None \
+            and self.frame_idx >= cfg.odometry.window_size, \
+            "process_chunk requires the steady pure-odometry phase"
+        carry = (self.window, self.world_pose, self.motions[0],
+                 self.prev_feats[0])
+        carry, ys = self._chunked(carry, imgs_stacked)
+        self.window, self.world_pose, self.motions[0], self.prev_feats[0] = (
+            carry[0], carry[1], carry[2], carry[3]
+        )
+        (q, t, pq, pt, cost, nc, ns, outliers) = ys
+        k = q.shape[0]
+        self.frame_idx += int(k)
+        self.last_outlier = [
+            jax.tree.map(lambda x: x[-1], o) for o in outliers
+        ]
+        return q, t, pq, pt, cost, nc, ns
 
     # ---------------- host orchestration ----------------
 
