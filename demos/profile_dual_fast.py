@@ -1,0 +1,188 @@
+"""Dual-lidar steady-path speed ladder: rig-normalized caps (the
+profile_dual_caps winner) combined with skip_steady (drop the scan-to-scan
+tracker once the window is warm — the window GN refines a constant-velocity
+seed against a richer map) and K=10 scan-chunked replay.
+
+Decides the dual-rig preset defaults for the >=100 fps (5x of the 20 fps
+dual-replay envelope) target. Interleaved passes over disjoint sequences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_tpu_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from mloam_tpu.core import rangeimage as RI
+from mloam_tpu.core import se3
+from mloam_tpu.core.rangeimage import RangeImage
+from mloam_tpu.core.se3 import Pose
+from mloam_tpu.models import platforms
+from mloam_tpu.models.pipeline import OdometryPipeline
+from mloam_tpu.odometry import estimator as E
+from mloam_tpu.sim import world as W
+from mloam_tpu.utils import evaluation
+
+N = 48
+WARM = 10
+CHUNK = 10
+X = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+
+
+def make_seq(cfg, n, seed):
+    w = W.make_world(jax.random.PRNGKey(seed))
+    traj = W.make_trajectory(jax.random.PRNGKey(seed + 1), wobble=0.05)
+    model = cfg.rig.models[0]
+    s0, gt = W.render_sequence(w, traj, model, n)
+    s1, _ = W.render_sequence(w, traj, model, n, extrinsic=X)
+    to_np = lambda s: jax.tree.map(np.asarray, s)
+    s0, s1 = to_np(s0), to_np(s1)
+    packed = []
+    for i in range(n):
+        f0 = RI.pack_frame(RangeImage(*[x[i] for x in s0]))
+        f1 = RI.pack_frame(RangeImage(*[x[i] for x in s1]))
+        packed.append((jax.tree.map(np.asarray, f0),
+                       jax.tree.map(np.asarray, f1)))
+    return packed, np.asarray(gt.t[:n])
+
+
+def make_pipe(cfg):
+    pipe = OdometryPipeline(cfg)
+    ext = Pose(jnp.stack([Pose.identity().q, X.q]),
+               jnp.stack([Pose.identity().t, X.t]))
+    pipe.window = E.set_extrinsics(pipe.window, ext)
+    orig = pipe.reset
+
+    def reset():
+        orig()
+        pipe.window = E.set_extrinsics(pipe.window, ext)
+
+    pipe.reset = reset
+    return pipe
+
+
+def dev_frames(pair):
+    return [RI.PackedFrame(*[jnp.asarray(x) for x in f]) for f in pair]
+
+
+def dev_chunk(pairs):
+    out = []
+    for l in range(2):
+        stacked = [np.stack(x) for x in zip(*[p[l] for p in pairs])]
+        out.append(RI.PackedFrame(*[jnp.asarray(x) for x in stacked]))
+    return tuple(out)
+
+
+def run_stream(pipe, seq):
+    pipe.reset()
+    est_t = []
+    for i in range(WARM):
+        out = pipe.process(dev_frames(seq[i]))
+        est_t.append(out.pose.t)
+    jax.block_until_ready(out.pose)
+    t0 = time.perf_counter()
+    for i in range(WARM, N):
+        out = pipe.process(dev_frames(seq[i]))
+        est_t.append(out.pose.t)
+    jax.block_until_ready(out.pose)
+    dt = (time.perf_counter() - t0) / (N - WARM)
+    return dt, np.asarray(jnp.stack(est_t))
+
+
+def run_chunk(pipe, seq):
+    pipe.reset()
+    est_t = []
+    for i in range(WARM):
+        out = pipe.process(dev_frames(seq[i]))
+        est_t.append(np.asarray(out.pose.t))
+    jax.block_until_ready(out.pose)
+    t0 = time.perf_counter()
+    last = None
+    for c in range(WARM, N, CHUNK):
+        k = min(CHUNK, N - c)
+        q, t, *_ = pipe.process_chunk(dev_chunk(seq[c:c + k]))
+        est_t.extend(np.asarray(t))
+        last = t
+    jax.block_until_ready(last)
+    dt = (time.perf_counter() - t0) / (N - WARM)
+    return dt, np.stack(est_t)
+
+
+def main():
+    print("platform:", jax.devices()[0].platform, flush=True)
+    base = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
+    half = dataclasses.replace(
+        base,
+        odometry=dataclasses.replace(
+            base.odometry,
+            cap_frame_corner=512, cap_frame_surf=1024,
+            localmap_precap_corner=1024, localmap_precap_surf=5120,
+        ),
+    )
+    half_skip = dataclasses.replace(
+        half, tracker=dataclasses.replace(half.tracker, skip_steady=True))
+    third = dataclasses.replace(
+        base,
+        odometry=dataclasses.replace(
+            base.odometry,
+            cap_frame_corner=384, cap_frame_surf=768,
+            localmap_precap_corner=768, localmap_precap_surf=3840,
+        ),
+    )
+    half_tgn2 = dataclasses.replace(
+        half, tracker=dataclasses.replace(half.tracker, gn_iters=2))
+    third_tgn2 = dataclasses.replace(
+        third, tracker=dataclasses.replace(third.tracker, gn_iters=2))
+
+    import os as _os
+    lad = _os.environ.get("DUAL_LADDER", "1")
+    if lad == "2":
+        variants = {
+            "half": (make_pipe(half), run_stream),
+            "third": (make_pipe(third), run_stream),
+            "half_tgn2": (make_pipe(half_tgn2), run_stream),
+            "third_tgn2": (make_pipe(third_tgn2), run_stream),
+        }
+    else:
+        variants = {
+            "half": (make_pipe(half), run_stream),
+            "half_skip": (make_pipe(half_skip), run_stream),
+            "half_chunk": (make_pipe(half), run_chunk),
+            "half_skip_chunk": (make_pipe(half_skip), run_chunk),
+        }
+
+    seqs = [make_seq(base, N, seed) for seed in (0, 7, 11)]
+    for name, (pipe, runner) in variants.items():  # warm compiles
+        runner(pipe, seqs[0][0])
+        print(f"warmed {name}", flush=True)
+
+    res = {k: [] for k in variants}
+    for p in range(2):
+        seq, gt = seqs[1 + p]
+        for name, (pipe, runner) in variants.items():
+            dt, est = runner(pipe, seq)
+            ate = evaluation.ate_rmse(est, gt)
+            res[name].append((dt, ate))
+            print(f"pass {p} {name:16s} {dt*1e3:7.2f} ms/frame "
+                  f"({1/dt:5.1f} fps) ate={ate*100:.2f} cm", flush=True)
+    print("--- medians ---")
+    for name, rs in res.items():
+        dts = [r[0] for r in rs]
+        ates = [r[1] for r in rs]
+        print(f"{name:16s} {np.median(dts)*1e3:7.2f} ms "
+              f"({1.0/np.median(dts):5.1f} fps)  ate max {max(ates)*100:.2f} cm")
+
+
+if __name__ == "__main__":
+    main()

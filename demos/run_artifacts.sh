@@ -8,7 +8,9 @@ stages=${@:-"slam inject_ext long calib4 scaling single mc gf"}
 
 for s in $stages; do
   case $s in
-    slam)    timeout 2400 $ENV python -m mloam_tpu.models.experiments slam --traj loop --frames 60 ;;
+    # the loop course laps in 100 frames (period_s 10 at 10 Hz): 120 frames
+    # = one lap + revisit runway (mirrors tests/test_slam_e2e.py N=110)
+    slam)    timeout 3600 $ENV python -m mloam_tpu.models.experiments slam --traj loop --frames 120 ;;
     inject_ext) timeout 3600 $ENV python -m mloam_tpu.models.experiments inject_ext --frames 30 ;;
     long)    timeout 3600 $ENV python -m mloam_tpu.models.experiments long --frames 500 ;;
     calib4)  timeout 3600 $ENV python -m mloam_tpu.models.experiments calib --lidars 4 --frames 90 ;;

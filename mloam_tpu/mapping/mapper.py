@@ -254,7 +254,7 @@ def scan_to_map(
         keep = fc.mask & (tr < mc.trace_threshold)
         return fc._replace(mask=keep), tr
 
-    corner, _ = gate(corner)
+    corner, corner_tr = gate(corner)
     surf, surf_tr = gate(surf)
 
     pose = pose_pred
@@ -269,12 +269,17 @@ def scan_to_map(
         pc = factors.match_map_plane(
             surf, proj_s, s_xyz, s_m, cfg.odometry.dist_sq_threshold
         )
-        # covariance-aware weights (LidarMapPlaneNormFactor sqrt_info,
-        # lidar_map_factor.hpp:26-141): down-weight high-uncertainty points
+        # covariance-aware weights (LidarMap{PlaneNorm,Edge}Factor sqrt_info
+        # = f(1/trace(cov_point)), lidar_map_factor.hpp:26-141): down-weight
+        # high-uncertainty points in BOTH feature classes
         w_unc = jnp.clip(
             1.0 / (1.0 + jnp.nan_to_num(surf_tr, nan=1e3)), 0.05, 1.0
         )
         pc = pc._replace(w=pc.w * w_unc)
+        w_unc_c = jnp.clip(
+            1.0 / (1.0 + jnp.nan_to_num(corner_tr, nan=1e3)), 0.05, 1.0
+        )
+        ec = ec._replace(w=ec.w * w_unc_c)
         # good-feature selection (ActiveFeatureSelection methods,
         # lidar_mapper.h:126-631)
         if mc.gf_method == "gd_float":

@@ -156,18 +156,25 @@ def mc_test(args):
 
 def inject_ext_test(args):
     """Extrinsic-perturbation robustness ladder (dual-lidar, fixed mode)
-    with an uncertainty-aware A/B: every level runs once with the mapper
-    fed the TRUE perturbation covariance (ua=on — the reference's
-    ``-with_ua`` flag driven by /extrinsics covariance,
-    lidar_mapper_keyframe.cpp:1028-1046 + run_mloam.py:167-205) and once
-    with zero extrinsic covariance (ua=off)."""
+    with an uncertainty-aware A/B: every level runs with the mapper fed the
+    TRUE perturbation covariance (ua=on — the reference's ``-with_ua`` flag
+    driven by /extrinsics covariance, lidar_mapper_keyframe.cpp:1028-1046 +
+    run_mloam.py:167-205) and with zero extrinsic covariance (ua=off).
+
+    Levels perturb along a FIXED unit tangent direction scaled by the level
+    magnitude (so levels are comparable — a fresh random direction per level
+    confounds magnitude with direction), averaged over ``--trials``
+    world/trajectory seeds."""
+    from mloam_tpu.odometry import estimator as E
+
     X_true = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+    direction = jax.random.normal(jax.random.PRNGKey(42), (6,))
+    direction = direction / jnp.linalg.norm(direction)
+    trials = getattr(args, "trials", 3)
     d = _outdir("inject_ext")
     summary = {}
     for level, mag in PERTURBATION_LEVELS.items():
-        key = jax.random.PRNGKey(hash(level) % (2**31))
-        delta = mag * jax.random.normal(key, (6,))
-        X_used = se3.boxplus(X_true, delta)
+        X_used = se3.boxplus(X_true, mag * direction)
         entry = {"perturb_norm": float(mag)}
         for ua in (False, True):
             cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
@@ -175,19 +182,26 @@ def inject_ext_test(args):
                 cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
                     cfg.mapping, ext_cov_prior_diag=(max(mag, 1e-4) ** 2,) * 6
                 ))
-            pipe = FullPipeline(cfg)
-            from mloam_tpu.odometry import estimator as E
-
-            ext = Pose(jnp.stack([Pose.identity().q, X_used.q]),
-                       jnp.stack([Pose.identity().t, X_used.t]))
-            pipe.odom.window = E.set_extrinsics(pipe.odom.window, ext)
-            res = run_sequence(cfg, args.frames, seed=args.seed, n_lidars=2,
-                               ext_true=X_true, pipe=pipe)
-            entry["ate_m_ua" if ua else "ate_m"] = res["ate_m"]
+            ates = []
+            for trial in range(trials):
+                pipe = FullPipeline(cfg)
+                ext = Pose(jnp.stack([Pose.identity().q, X_used.q]),
+                           jnp.stack([Pose.identity().t, X_used.t]))
+                pipe.odom.window = E.set_extrinsics(pipe.odom.window, ext)
+                res = run_sequence(cfg, args.frames,
+                                   seed=args.seed + 10 * trial, n_lidars=2,
+                                   ext_true=X_true, pipe=pipe)
+                ates.append(res["ate_m"])
+            k = "ua" if ua else "off"
+            entry[f"ate_m_{k}"] = float(np.mean(ates))
+            entry[f"ate_m_{k}_std"] = float(np.std(ates))
+            entry[f"ate_m_{k}_per_trial"] = [float(a) for a in ates]
         summary[level] = entry
         print(f"{level}: perturb {mag:.2f} -> ATE "
-              f"{entry['ate_m']*100:.2f} cm (ua off) / "
-              f"{entry['ate_m_ua']*100:.2f} cm (ua on)")
+              f"{entry['ate_m_off']*100:.2f}±{entry['ate_m_off_std']*100:.2f}"
+              f" cm (ua off) / "
+              f"{entry['ate_m_ua']*100:.2f}±{entry['ate_m_ua_std']*100:.2f}"
+              f" cm (ua on)", flush=True)
     with open(os.path.join(d, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
@@ -526,7 +540,7 @@ def main():
                        default={"calib": 90, "long": 500}.get(name, 30))
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--lidars", type=int, default=1)
-        if name == "mc":
+        if name in ("mc", "inject_ext"):
             p.add_argument("--trials", type=int, default=3)
         if name == "scaling":
             p.add_argument("--poses", type=int, default=256)

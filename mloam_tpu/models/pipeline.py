@@ -81,6 +81,12 @@ class OdometryPipeline:
         self.window = E.init_window(
             cfg, cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
         )
+        if self.ext_mode == 1:
+            # starting directly in refinement mode (the RHD preset ships
+            # ESTIMATE_EXTRINSIC=1): the marginalization prior must span
+            # [opt poses | extrinsic blocks] from frame 0, not the pure-
+            # odometry layout init_window builds
+            self.window = E.reset_prior(self.window, cfg, calibrate_ext=True)
         self.prev_feats: list[FeatureFrame | None] = [None] * L
         self.last_outlier: list = [None] * L
         self.motions: list[Pose] = [Pose.identity() for _ in range(L)]
@@ -173,6 +179,8 @@ class OdometryPipeline:
         self.window = E.init_window(
             cfg, cfg.odometry.cap_frame_corner, cfg.odometry.cap_frame_surf
         )
+        if self.ext_mode == 1:
+            self.window = E.reset_prior(self.window, cfg, calibrate_ext=True)
         self.prev_feats = [None] * L
         self.last_outlier = [None] * L
         self.motions = [Pose.identity() for _ in range(L)]
