@@ -95,6 +95,7 @@ def run_sequence(cfg, n_frames: int, seed: int = 0, n_lidars: int = 1,
         "est_q": est_q,
         "times": np.asarray(ts),
         "gt_t": gt_t,
+        "gt_q": np.asarray(gt_poses.q[:n_frames]),
         "pipe": pipe,
     }
 
@@ -500,7 +501,22 @@ def long_test(args):
     cfg = platforms.synthetic(n_lidars=args.lidars)
     res = run_sequence(cfg, args.frames, seed=args.seed,
                        n_lidars=args.lidars, noise_std=args.noise)
-    err = np.linalg.norm(res["est_t"] - res["gt_t"], axis=1)
+    # drift trace vs gt expressed in the ESTIMATE's frame (the trajectory
+    # does not start at the origin; comparing raw world positions bakes the
+    # constant start offset into every sample). No free alignment: the
+    # estimate starts exactly at gt[0]'s frame, so this is the honest
+    # unaligned drift.
+    from mloam_tpu.core.se3 import Pose as _P
+
+    gt_q = res.get("gt_q")
+    g0 = _P(jnp.asarray(gt_q[0]), jnp.asarray(res["gt_t"][0]))
+    gt_rel = np.stack([
+        np.asarray(se3.compose(
+            se3.inverse(g0),
+            _P(jnp.asarray(gt_q[i]), jnp.asarray(res["gt_t"][i]))).t)
+        for i in range(len(res["gt_t"]))
+    ])
+    err = np.linalg.norm(res["est_t"] - gt_rel, axis=1)
     # drift by 100-frame segment: growth pattern matters more than the total
     seg = [float(err[min(k + 99, len(err) - 1)])
            for k in range(0, len(err), 100)]
@@ -508,7 +524,7 @@ def long_test(args):
     evaluation.save_tum(os.path.join(d, "traj_est.tum"),
                         res["times"], res["est_t"], res["est_q"])
     viz.plot_trajectory(os.path.join(d, "trajectory.png"), res["est_t"],
-                        res["gt_t"], title=f"long {args.frames}f "
+                        gt_rel, title=f"long {args.frames}f "
                         f"noise={args.noise}")
     n_kf = int(jax.device_get(res["pipe"].mapper_state.db.head))
     summary = {

@@ -20,28 +20,56 @@ HDL64 = LidarModel(n_rings=64, n_cols=1800, fov_up_deg=2.0, fov_down_deg=-24.8)
 SIM16 = LidarModel(n_rings=16, n_cols=1800)
 
 
+def _rig_budget(cfg: MloamConfig) -> MloamConfig:
+    """Rig-normalized per-sweep feature budget for multi-lidar rigs.
+
+    The window-solve cost scales with the TOTAL per-sweep feature count;
+    overlapping-FOV lidars don't see L× the unique structure (local-map
+    density is bounded by the voxel leaves), so the single-rig budget is
+    split across the rig instead of multiplied by it. On-chip A/B
+    (demos/profile_dual_{caps,fast}.py, dual VLP-16): full per-lidar caps
+    17.0 ms/frame ATE 2.79 cm → 384/768 per lidar 10.75 ms ATE 2.17 cm —
+    1.6x faster AND more accurate (the dropped features are the lowest-
+    curvature-rank ones; the map stays voxel-bounded either way)."""
+    L = cfg.rig.n_lidars
+    if L <= 1:
+        return cfg
+    corner = max(768 // L, 256)
+    surf = 2 * corner
+    return dataclasses.replace(
+        cfg,
+        odometry=dataclasses.replace(
+            cfg.odometry,
+            cap_frame_corner=corner,
+            cap_frame_surf=surf,
+            localmap_precap_corner=2 * corner,
+            localmap_precap_surf=5 * surf,
+        ),
+    )
+
+
 def simu_jackal(n_lidars: int = 2, extrinsic_mode: int = 2) -> MloamConfig:
     """SR: config_simu_jackal.yaml (2x VLP-16, online calibration)."""
-    return MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
-                                    extrinsic_mode=extrinsic_mode))
+    return _rig_budget(MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
+                                                extrinsic_mode=extrinsic_mode)))
 
 
 def handheld(extrinsic_mode: int = 1) -> MloamConfig:
     """RHD: config_handheld.yaml (2x VLP-16)."""
-    return MloamConfig(rig=LidarRig(models=(VLP16, VLP16),
-                                    extrinsic_mode=extrinsic_mode))
+    return _rig_budget(MloamConfig(rig=LidarRig(models=(VLP16, VLP16),
+                                                extrinsic_mode=extrinsic_mode)))
 
 
 def vehicle_hercules(extrinsic_mode: int = 1) -> MloamConfig:
     """RV: config_realvehicle_hercules.yaml (4x VLP-16)."""
-    return MloamConfig(rig=LidarRig(models=(VLP16,) * 4,
-                                    extrinsic_mode=extrinsic_mode))
+    return _rig_budget(MloamConfig(rig=LidarRig(models=(VLP16,) * 4,
+                                                extrinsic_mode=extrinsic_mode)))
 
 
 def oxford(extrinsic_mode: int = 0) -> MloamConfig:
     """OR: config_realvehicle_oxford.yaml (2x HDL-32)."""
-    return MloamConfig(rig=LidarRig(models=(HDL32, HDL32),
-                                    extrinsic_mode=extrinsic_mode))
+    return _rig_budget(MloamConfig(rig=LidarRig(models=(HDL32, HDL32),
+                                                extrinsic_mode=extrinsic_mode)))
 
 
 def kitti() -> MloamConfig:
@@ -54,5 +82,5 @@ def kitti() -> MloamConfig:
 
 def synthetic(n_lidars: int = 1, extrinsic_mode: int = 0) -> MloamConfig:
     """The simulator fixture platform (tests/bench)."""
-    return MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
-                                    extrinsic_mode=extrinsic_mode))
+    return _rig_budget(MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
+                                                extrinsic_mode=extrinsic_mode)))

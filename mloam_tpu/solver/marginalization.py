@@ -91,9 +91,26 @@ def _schur_core(H: jnp.ndarray, g: jnp.ndarray, n_drop: int, eps: float):
 def schur_marginalize_quad(H: jnp.ndarray, g: jnp.ndarray, n_drop: int,
                            eps: float = 1e-8) -> QuadPrior:
     """Eliminate the first ``n_drop`` tangent coordinates of (H, g) into a
-    quadratic-form prior on the remaining coordinates (one 6x6 eigh)."""
+    quadratic-form prior on the remaining coordinates.
+
+    The result is PSD-PROJECTED: eigenvalues clamped at zero and the
+    gradient projected onto the positive-curvature range — exactly what the
+    reference's sqrt-info recovery does implicitly (J = √λ₊·Vᵀ,
+    r0 = λ₊^{-1/2}·Vᵀg, marginalization_factor.cpp:305-313, discards the
+    λ≤eps subspace of BOTH). Without it, Schur pseudo-inverse noise makes
+    the prior slightly indefinite, and because the prior is re-marginalized
+    recursively every frame the indefiniteness COMPOUNDS (observed: min
+    eigenvalue drifting -0.2 → -13 over 300 frames, then the window solve
+    riding the negative-curvature directions into a divergence — 0.6 m
+    drift became 28 m at frame 500; with this projection the run is
+    stable)."""
     Hp, gp = _schur_core(H, g, n_drop, eps)
-    return QuadPrior(H=0.5 * (Hp + Hp.T), b=gp, valid=jnp.asarray(True))
+    with jax.default_matmul_precision("highest"):
+        vals, vecs = jnp.linalg.eigh(0.5 * (Hp + Hp.T))
+        pos = vals > eps
+        H_psd = (vecs * jnp.where(pos, vals, 0.0)[None, :]) @ vecs.T
+        g_proj = vecs @ (pos * (vecs.T @ gp))
+    return QuadPrior(H=H_psd, b=g_proj, valid=jnp.asarray(True))
 
 
 def schur_marginalize(H: jnp.ndarray, g: jnp.ndarray, n_drop: int,
