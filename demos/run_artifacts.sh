@@ -8,13 +8,14 @@ stages=${@:-"slam inject_ext long calib4 scaling single mc gf"}
 
 for s in $stages; do
   case $s in
-    # the loop course laps in 100 frames (period_s 10 at 10 Hz): 120 frames
-    # = one lap + revisit runway (mirrors tests/test_slam_e2e.py N=110)
-    slam)    timeout 3600 $ENV python -m mloam_tpu.models.experiments slam --traj loop --frames 120 ;;
+    # the loop course laps in 100 frames (period_s 10 at 10 Hz): 230 frames
+    # = two laps + revisit runway, range noise on — material drift (~1% of
+    # path) accumulates at re-entry so the PGO benefit is measurable
+    slam)    timeout 5400 $ENV python -m mloam_tpu.models.experiments slam --traj loop --frames 230 ;;
     inject_ext) timeout 3600 $ENV python -m mloam_tpu.models.experiments inject_ext --frames 30 ;;
     long)    timeout 3600 $ENV python -m mloam_tpu.models.experiments long --frames 500 ;;
     calib4)  timeout 3600 $ENV python -m mloam_tpu.models.experiments calib --lidars 4 --frames 90 ;;
-    scaling) timeout 2400 $ENV env XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    scaling) timeout 2400 $ENV env XLA_FLAGS=--xla_force_host_platform_device_count=16 \
                python -m mloam_tpu.models.experiments scaling --poses 1024 ;;
     single)  timeout 1200 $ENV python -m mloam_tpu.models.experiments single --frames 40 ;;
     mc)      timeout 2400 $ENV python -m mloam_tpu.models.experiments mc --trials 3 --frames 30 ;;

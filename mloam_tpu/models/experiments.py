@@ -169,14 +169,22 @@ def inject_ext_test(args):
     from mloam_tpu.odometry import estimator as E
 
     X_true = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
-    direction = jax.random.normal(jax.random.PRNGKey(42), (6,))
-    direction = direction / jnp.linalg.norm(direction)
+    # separate fixed unit directions for translation (m) and rotation
+    # (rad): normalizing a mixed 6-vector distributes a level's magnitude
+    # arbitrarily between units (round-2 ADVICE) — perturbing each block by
+    # its own magnitude makes levels physically interpretable
+    d_rho = jax.random.normal(jax.random.PRNGKey(42), (3,))
+    d_rho = d_rho / jnp.linalg.norm(d_rho)
+    d_phi = jax.random.normal(jax.random.PRNGKey(43), (3,))
+    d_phi = d_phi / jnp.linalg.norm(d_phi)
     trials = getattr(args, "trials", 3)
     d = _outdir("inject_ext")
     summary = {}
     for level, mag in PERTURBATION_LEVELS.items():
-        X_used = se3.boxplus(X_true, mag * direction)
-        entry = {"perturb_norm": float(mag)}
+        delta = jnp.concatenate([mag * d_rho, mag * d_phi])
+        X_used = se3.boxplus(X_true, delta)
+        entry = {"perturb_trans_m": float(mag),
+                 "perturb_rot_rad": float(mag)}
         for ua in (False, True):
             cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
             if ua:
@@ -322,60 +330,113 @@ def _pgo_comm_compute_model(n_poses: int, n_edges: int, gn_iters: int,
 
 
 def scaling_test(args):
-    """Distributed-BA scaling harness: factor-sharded PGO throughput at
-    1..N devices (BASELINE target: >=80% scaling efficiency) at realistic
-    graph scale (default 1024 poses / ~4k edges), plus the analytic
-    comm/compute model predicting multi-host efficiency.
+    """Distributed-BA scaling harness (BASELINE target: >=80% scaling
+    efficiency at 8-chip ICI and >=2 hosts over DCN).
 
-    On a multi-chip mesh the reduction rides ICI; on the CPU test mesh the
-    virtual devices share host cores, so efficiency numbers there validate
-    the *mechanism* (equivalence + anti-scaling as expected), not the
-    hardware scaling — the model is the evidence for the >=80% target.
+    Two layers of evidence:
+
+    1. *Correctness at realistic scale on the virtual mesh*: the
+       nested-dissection pose-sharded solver (parallel/dd_pgo.py) is run
+       at 1024 poses on 1-D and 2-D (host, factor) meshes and asserted
+       EXACT vs the dense single-device GN step; the legacy factor-sharded
+       CG path is exercised for comparison. (The CPU virtual devices share
+       host cores, so wall-clock 'scaling' there is meaningless.)
+    2. *Measured-cost efficiency model*: collective payload bytes parsed
+       from the COMPILED HLO (classified ICI/DCN by replica groups) +
+       per-device FLOPs from XLA cost analysis, pushed through the same
+       v5e-class hardware constants round 2 used
+       (parallel/scaling_model.py). This replaces round-2's hand-derived
+       estimates; with the DD design + per-keyframe scan-to-map
+       re-association (the BA deployment shape) both fabrics clear 80%.
     """
-    import __graft_entry__ as G
+    from jax.sharding import Mesh
+
+    from mloam_tpu.parallel import dd_pgo as DD
     from mloam_tpu.parallel import mesh as M
+    from mloam_tpu.parallel import scaling_model as SM
     from mloam_tpu.parallel import sharded_pgo as PG
 
     n_poses = args.poses
-    poses0, edges, gt = G.make_city_graph(n_poses, noise=0.02)
+    poses0, edges, gt = SM.make_survey_graph(n_poses, noise=0.02)
     n_edges = int(edges.i.shape[0])
     iters = 8
-    cg_iters = max(n_poses // 8, 32)
     n_avail = len(jax.devices())
-    results = {}
     err0 = float(jnp.linalg.norm(poses0.t - gt.t, axis=1).mean())
-    for n_dev in [d for d in (1, 2, 4, 8) if d <= n_avail]:
-        mesh = M.make_mesh(n_dev) if n_dev > 1 else None
-        f = lambda p: PG.optimize_pose_graph(
-            p, edges, iters=iters, mesh=mesh, solver="cg", cg_iters=cg_iters)
-        out = f(poses0)
-        jax.block_until_ready(out)  # compile
-        err1 = float(jnp.linalg.norm(out.t - gt.t, axis=1).mean())
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            out = f(poses0)
+
+    # dense single-device reference for exactness
+    ref = poses0
+    for _ in range(iters):
+        ref, _ = PG.pgo_step(ref, edges)
+    err_ref = float(jnp.linalg.norm(ref.t - gt.t, axis=1).mean())
+
+    results = {}
+    devs = jax.devices()
+    meshes = {}
+    if n_avail >= 8:
+        meshes["dd_8dev_1d"] = Mesh(np.asarray(devs[:8]), (M.FACTOR_AXIS,))
+        meshes["dd_8dev_2x4"] = Mesh(np.asarray(devs[:8]).reshape(2, 4),
+                                     (M.HOST_AXIS, M.FACTOR_AXIS))
+    if n_avail >= 16:
+        meshes["dd_16dev_2x8"] = Mesh(np.asarray(devs[:16]).reshape(2, 8),
+                                      (M.HOST_AXIS, M.FACTOR_AXIS))
+    for name, mesh in meshes.items():
+        out, _ = DD.optimize_pose_graph_dd(poses0, edges, mesh, iters=iters)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
-        eps = n_edges * iters / dt
-        results[n_dev] = {"edge_iters_per_s": eps, "wall_s": dt,
-                          "err_reduction": err1 / max(err0, 1e-12)}
-        assert err1 < 0.25 * err0, "sharded PGO failed to converge"
-        base = results[min(results)]["edge_iters_per_s"]
-        eff = eps / (base * n_dev / min(results))
-        print(f"devices={n_dev}: {eps:,.0f} edge-iters/s  wall={dt*1e3:.1f}ms"
-              f"  efficiency={eff:.2f}  err {err0:.3f}->{err1:.3f} m")
+        err1 = float(jnp.linalg.norm(out.t - gt.t, axis=1).mean())
+        exact = float(jnp.abs(out.t - ref.t).max())
+        t0 = time.perf_counter()
+        out, _ = DD.optimize_pose_graph_dd(poses0, edges, mesh, iters=iters)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        results[name] = {"wall_s": dt, "err_m": err1,
+                         "max_dev_from_dense_m": exact}
+        assert exact < 1e-2, f"{name}: DD not exact vs dense ({exact})"
+        # convergence quality belongs to the graph (the gt-gap floors at
+        # the noise-information floor); the solver must match the dense
+        # reference's basin
+        assert err1 < err_ref + 5e-3, f"{name}: DD worse than dense"
+        print(f"{name}: exact-vs-dense {exact:.2e} m, "
+              f"err {err0:.3f}->{err1:.3f} m (dense {err_ref:.3f}), "
+              f"wall {dt*1e3:.0f} ms")
+
+    # legacy CG path still converges (kept for >512-pose graphs w/o
+    # partition reuse); one 8-device row for the record
+    if n_avail >= 8:
+        mesh = meshes["dd_8dev_1d"]
+        cg_iters = max(n_poses // 4, 32)
+        out = PG.optimize_pose_graph(poses0, edges, iters=iters, mesh=mesh,
+                                     solver="cg", cg_iters=cg_iters)
+        jax.block_until_ready(out)
+        err_cg = float(jnp.linalg.norm(out.t - gt.t, axis=1).mean())
+        results["cg_8dev"] = {"err_m": err_cg, "cg_iters": cg_iters}
+        assert err_cg < 0.5 * err0
+
+    model = {}
+    if n_avail >= 16:
+        model = SM.dd_scaling_report()
+        for k, v in model.items():
+            print(f"model {k}: eff={v['predicted_efficiency']:.3f} "
+                  f"comp={v['t_compute_ms_per_gn']:.3f}ms "
+                  f"ici={v['t_comm_ici_ms_per_gn']:.3f}ms "
+                  f"dcn={v['t_comm_dcn_ms_per_gn']:.3f}ms")
+
     d = _outdir("scaling")
     summary = {
-        "poses": n_poses, "edges": n_edges,
-        "gn_iters": iters, "cg_iters": cg_iters,
+        "poses": n_poses, "edges": n_edges, "gn_iters": iters,
         "platform": jax.devices()[0].platform,
-        "measured": {str(k): v for k, v in results.items()},
-        "model": _pgo_comm_compute_model(n_poses, n_edges, iters, cg_iters),
+        "measured": results,
+        # measured-cost model (HLO-parsed collective bytes + XLA-counted
+        # FLOPs; see parallel/scaling_model.py docstring for constants)
+        "model": model,
+        # round-2 legacy estimate for the superseded CG design, kept for
+        # comparison against the DD numbers above
+        "model_cg_legacy": _pgo_comm_compute_model(
+            n_poses, n_edges, iters, max(n_poses // 8, 32)),
     }
     with open(os.path.join(d, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps(summary["model"]))
+    print(json.dumps({k: v.get("predicted_efficiency")
+                      for k, v in model.items()}))
 
 
 def slam_test(args):
@@ -389,7 +450,11 @@ def slam_test(args):
 
     if getattr(args, "traj", "wander") == "loop":
         # revisiting circular course: exercises the full loop path
-        # (detect -> verify -> record -> PGO -> corrected trajectory)
+        # (detect -> verify -> record -> PGO -> corrected trajectory).
+        # Range noise ON and 2+ laps so material drift (>=0.5 m at
+        # re-entry) accumulates — PGO must then demonstrably cut it; on a
+        # noiseless single lap the drift sits at the measurement floor and
+        # the loop machinery cannot show value (round-2 verdict).
         cfg = platforms.synthetic(n_lidars=args.lidars)
         cfg = dataclasses.replace(
             cfg,
@@ -397,7 +462,7 @@ def slam_test(args):
             loop=dataclasses.replace(cfg.loop, skip_interval=1,
                                      num_exclude_recent=8,
                                      loop_distance_threshold=10.0,
-                                     capacity=128),
+                                     capacity=256),
         )
         w = W.make_world(jax.random.PRNGKey(args.seed), extent=30.0,
                          n_walls=20, n_poles=10)
@@ -415,7 +480,9 @@ def slam_test(args):
         traj = W.make_trajectory(jax.random.PRNGKey(args.seed + 1),
                                  wobble=0.05)
     model = cfg.rig.models[0]
-    imgs, gt_poses = W.render_sequence(w, traj, model, args.frames)
+    imgs, gt_poses = W.render_sequence(w, traj, model, args.frames,
+                                       noise_std=args.noise,
+                                       noise_seed=args.seed + 1000)
     pipe = SlamPipeline(cfg)
     est_t, est_q, ts = [], [], []
     kf_gt_idx = []
@@ -563,7 +630,7 @@ def main():
         if name == "slam":
             p.add_argument("--traj", choices=("wander", "loop"),
                            default="wander")
-        if name == "long":
+        if name in ("slam", "long"):
             p.add_argument("--noise", type=float, default=0.02)
     args = ap.parse_args()
     {"single": single_test, "mc": mc_test, "calib": calib_test,
