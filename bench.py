@@ -128,7 +128,9 @@ def main():
         # streaming: one dispatch per sweep, pipelined submission
         pipe.reset()
         for i in range(WARM_FRAMES):
-            pipe.process([dev_frame(imgs2[i])])
+            out = pipe.process([dev_frame(imgs2[i])])
+        # drain in-flight warm work so it cannot bleed into the timed window
+        jax.block_until_ready(out.pose)
         est_t = []
         t0 = time.perf_counter()
         for i in range(WARM_FRAMES, n_total):
@@ -144,7 +146,8 @@ def main():
         # submissions; trajectories bit-identical to the streaming pass)
         pipe.reset()
         for i in range(WARM_FRAMES):
-            pipe.process([dev_frame(imgs2[i])])
+            out = pipe.process([dev_frame(imgs2[i])])
+        jax.block_until_ready(out.pose)
         last = None
         t0 = time.perf_counter()
         for c in range(WARM_FRAMES, n_total, CHUNK):

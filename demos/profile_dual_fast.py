@@ -147,7 +147,35 @@ def main():
 
     import os as _os
     lad = _os.environ.get("DUAL_LADDER", "1")
-    if lad == "2":
+    if lad == "4":
+        # stride-decimation ladder: free even subsampling + compaction
+        def gfm(cfg, ratio, method="stride"):
+            return dataclasses.replace(
+                cfg, odometry=dataclasses.replace(
+                    cfg.odometry, gf_ratio=ratio, gf_method=method,
+                    gf_compact=True))
+
+        variants = {
+            "third": (make_pipe(third), run_stream),
+            "third_st06": (make_pipe(gfm(third, 0.6)), run_stream),
+            "half_st05": (make_pipe(gfm(half, 0.5)), run_stream),
+            "half_st035": (make_pipe(gfm(half, 0.35)), run_stream),
+        }
+    elif lad == "3":
+        # gf-compaction ladder: selection compacts the window-solve
+        # correspondence buffers to ~ratio size (estimator gf_compact)
+        def gf(cfg, ratio):
+            return dataclasses.replace(
+                cfg, odometry=dataclasses.replace(
+                    cfg.odometry, gf_ratio=ratio, gf_compact=True))
+
+        variants = {
+            "third": (make_pipe(third), run_stream),
+            "third_gf05": (make_pipe(gf(third, 0.5)), run_stream),
+            "half_gf04": (make_pipe(gf(half, 0.4)), run_stream),
+            "full_gf025": (make_pipe(gf(base, 0.25)), run_stream),
+        }
+    elif lad == "2":
         variants = {
             "half": (make_pipe(half), run_stream),
             "third": (make_pipe(third), run_stream),

@@ -99,6 +99,11 @@ class OdometryConfig:
     # correspondences, selected by logdet gain (gd). 1.0 = all features.
     gf_ratio: float = 1.0
     gf_method: str = "gd"            # gd | rnd | fps (used when gf_ratio < 1)
+    # compact the selected correspondences into ~ratio-sized buffers so
+    # gf_ratio < 1 shrinks the GN residual/Gram shapes (on-chip ms), not
+    # just zero-weights rows — the reference's gf exists to buy solver
+    # time (estimator.cpp:1347-1517, 7 ms budget)
+    gf_compact: bool = True
     # per-frame feature capacities inside the window stacks
     cap_frame_corner: int = 1024
     cap_frame_surf: int = 2048

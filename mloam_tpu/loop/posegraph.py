@@ -81,16 +81,32 @@ def add_keyframe(state: LoopGraphState, pose: Pose, corner: FeatCloud,
     """Append a keyframe. At capacity new keyframes are DROPPED whole — no
     slot is overwritten (the reference keeps an unbounded keyframe list,
     pose_graph.cpp:92-328; with fixed device shapes the honest equivalent is
-    a hard cap sized to the sequence, surfaced to the host via ``count``)."""
+    a hard cap sized to the sequence, surfaced to the host via ``count``).
+
+    Drift propagation (pose_graph.cpp:629-641): ``poses`` holds the
+    PGO-corrected trajectory; an incoming pose is still in the odometry
+    frame, so it is carried over with the CURRENT drift correction
+    T_drift = poses[last] ∘ odom_poses[last]⁻¹ — otherwise every keyframe
+    added after a correction re-enters in the uncorrected frame and the
+    graph mixes frames until the next optimization."""
     k = state.valid.shape[0]
     ok = state.count < k
     i = jnp.minimum(state.count, k - 1)
+    last = jnp.maximum(state.count - 1, 0)
+    drift = se3.compose(
+        Pose(state.poses.q[last], state.poses.t[last]),
+        se3.inverse(Pose(state.odom_poses.q[last], state.odom_poses.t[last])),
+    )
+    has_prev = state.count > 0
+    corr = se3.compose(drift, pose)
+    pose_corr = Pose(jnp.where(has_prev, corr.q, pose.q),
+                     jnp.where(has_prev, corr.t, pose.t))
     merged = jnp.concatenate([corner.xyz, surf.xyz])
     merged_mask = jnp.concatenate([corner.mask, surf.mask])
     desc = SC.make_descriptor(merged, merged_mask, cfg)
     new = state._replace(
-        poses=Pose(state.poses.q.at[i].set(pose.q),
-                   state.poses.t.at[i].set(pose.t)),
+        poses=Pose(state.poses.q.at[i].set(pose_corr.q),
+                   state.poses.t.at[i].set(pose_corr.t)),
         odom_poses=Pose(state.odom_poses.q.at[i].set(pose.q),
                         state.odom_poses.t.at[i].set(pose.t)),
         corner=jax.tree.map(lambda a, n: a.at[i].set(n), state.corner, corner),

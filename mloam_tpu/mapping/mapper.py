@@ -83,6 +83,18 @@ class MapperOutput(NamedTuple):
     inserted_kf: jnp.ndarray  # bool
 
 
+def uncertainty_sqrt_info(trace: jnp.ndarray) -> jnp.ndarray:
+    """The reference's covariance-driven factor weight
+    (``lidar_map_factor.hpp:34-42``): s = sqrt(1/trace(cov_point)); the
+    point is fully trusted (weight 1) while s >= 3 — i.e. trace <= 1/9 —
+    and decays as s/3 = 1/(3*sqrt(trace)) beyond. NaN/invalid traces map
+    to a large trace (weight -> ~0); pinned by
+    tests/test_mapping.py::test_uncertainty_weight_curve."""
+    tr = jnp.maximum(jnp.nan_to_num(trace, nan=1e6, posinf=1e6), 1e-12)
+    s = jnp.sqrt(1.0 / tr)
+    return jnp.where(s >= 3.0, 1.0, s / 3.0)
+
+
 def default_ext_cov(cfg: MloamConfig) -> jnp.ndarray:
     """[L, 6, 6] prior extrinsic covariance: zeros for the reference lidar,
     the configured uct_ext diagonal (scaled by uct_ext_ratio) for the rest —
@@ -270,16 +282,11 @@ def scan_to_map(
             surf, proj_s, s_xyz, s_m, cfg.odometry.dist_sq_threshold
         )
         # covariance-aware weights (LidarMap{PlaneNorm,Edge}Factor sqrt_info
-        # = f(1/trace(cov_point)), lidar_map_factor.hpp:26-141): down-weight
-        # high-uncertainty points in BOTH feature classes
-        w_unc = jnp.clip(
-            1.0 / (1.0 + jnp.nan_to_num(surf_tr, nan=1e3)), 0.05, 1.0
-        )
-        pc = pc._replace(w=pc.w * w_unc)
-        w_unc_c = jnp.clip(
-            1.0 / (1.0 + jnp.nan_to_num(corner_tr, nan=1e3)), 0.05, 1.0
-        )
-        ec = ec._replace(w=ec.w * w_unc_c)
+        # curve, lidar_map_factor.hpp:26-141): down-weight high-uncertainty
+        # points in BOTH feature classes with the reference's clamped
+        # 1/(3*sqrt(trace)) form
+        pc = pc._replace(w=pc.w * uncertainty_sqrt_info(surf_tr))
+        ec = ec._replace(w=ec.w * uncertainty_sqrt_info(corner_tr))
         # good-feature selection (ActiveFeatureSelection methods,
         # lidar_mapper.h:126-631)
         if mc.gf_method == "gd_float":
@@ -301,7 +308,9 @@ def scan_to_map(
             _, ld = jnp.linalg.slogdet(Hfull)
             ratio = jnp.where(ld > mc.map_deg_threshold,
                               mc.gf_ratio, mc.gf_ratio_degraded)
-            keep_p, keep_e = FS.logdet_gain_select(Jp, pc.w, Je, ec.w, ratio)
+            keep_p, keep_e = FS.logdet_gain_select(
+                Jp, pc.w, Je, ec.w, ratio,
+                max_ratio=max(mc.gf_ratio, mc.gf_ratio_degraded))
             pc = pc._replace(w=pc.w * keep_p.astype(pc.w.dtype))
             ec = ec._replace(w=ec.w * keep_e.astype(ec.w.dtype))
         elif mc.gf_method != "full" and mc.gf_ratio < 1.0:

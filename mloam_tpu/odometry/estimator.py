@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mloam_tpu.config import MloamConfig
 from mloam_tpu.core import rotations as rot
@@ -353,14 +354,16 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
     n_c = q_corner[0].xyz.shape[0]
     n_s = q_surf[0].xyz.shape[0]
 
-    def point_poses(xx):
+    def point_poses(xx, nc=None, ns=None):
         """Per-point chain poses for the concatenated query sets."""
+        nc = n_c if nc is None else nc
+        ns = n_s if ns is None else ns
         Ts = [chain(xx, qi) for qi in range(nq)]
         qs = jnp.stack([T.q for T in Ts])
         ts = jnp.stack([T.t for T in Ts])
         return (
-            (jnp.repeat(qs, n_c, 0), jnp.repeat(ts, n_c, 0)),
-            (jnp.repeat(qs, n_s, 0), jnp.repeat(ts, n_s, 0)),
+            (jnp.repeat(qs, nc, 0), jnp.repeat(ts, nc, 0)),
+            (jnp.repeat(qs, ns, 0), jnp.repeat(ts, ns, 0)),
         )
 
     for _ in range(oc.outer_iters):
@@ -373,7 +376,7 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
         plane_corrs = factors.match_map_plane(
             qs_all, proj_s, s_map, s_mmask, oc.dist_sq_threshold
         )
-        if oc.gf_ratio < 1.0:
+        if oc.gf_ratio < 1.0 and oc.gf_method == "gd":
             # odometry-side good-feature selection (the reference's
             # goodFeatureMatching inside optimizeMap's pure-odometry branch,
             # estimator.cpp:789-848 + 1347-1517): score every matched
@@ -381,12 +384,19 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
             # information matrix (per-point Jacobians wrt the chain-pose
             # tangent — the counterpart of evaluateFeatJacobian) and keep
             # the top gf_ratio fraction; the rest get zero weight.
+            # On-chip cost note: the round-based top_k selection costs more
+            # than the GN rows it removes (measured dual rig: 26 ms vs
+            # 11 ms plain) — 'gd' buys accuracy in weak geometry, not
+            # speed; the speed path is gf_method='stride' (+ gf_compact),
+            # whose even decimation is free (the reference's rnd method,
+            # lidar_mapper.h:229-573, same purpose).
             from mloam_tpu.solver import feature_selection as FS
 
             Je = factors.edge_point_jacobian(cq, edge_corrs)
             Jp = factors.plane_point_jacobian(sq, plane_corrs)
             keep_p, keep_e = FS.logdet_gain_select(
-                Jp, plane_corrs.w, Je, edge_corrs.w, oc.gf_ratio
+                Jp, plane_corrs.w, Je, edge_corrs.w, oc.gf_ratio,
+                max_ratio=oc.gf_ratio,
             )
             edge_corrs = edge_corrs._replace(
                 w=edge_corrs.w * keep_e.astype(edge_corrs.w.dtype)
@@ -394,6 +404,37 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
             plane_corrs = plane_corrs._replace(
                 w=plane_corrs.w * keep_p.astype(plane_corrs.w.dtype)
             )
+
+        if oc.gf_ratio < 1.0 and oc.gf_compact:
+            # the payoff path: selection COMPACTS the correspondence sets
+            # into ~ratio-sized buffers so every GN iteration's residual/
+            # Gram work shrinks proportionally (the reference's gf exists
+            # to buy solver time, estimator.cpp:1347-1517 — zero-weighting
+            # rows inside fixed shapes can never do that). 1.25x slack per
+            # frame-group absorbs uneven selection across groups; beyond it
+            # the gather strides evenly over the kept rows.
+            cap_c = min(n_c, max(int(np.ceil(n_c * oc.gf_ratio * 1.25)), 32))
+            cap_s = min(n_s, max(int(np.ceil(n_s * oc.gf_ratio * 1.25)), 32))
+
+            def compact_group(tree, n_per, cap):
+                w = tree.w.reshape(nq, n_per)
+                idx, om = jax.vmap(
+                    lambda m: select.compact_gather_indices(m, cap))(w > 0)
+
+                def g(leaf):
+                    grp = leaf.reshape((nq, n_per) + leaf.shape[1:])
+                    out = jax.vmap(lambda gl, gi: gl[gi])(grp, idx)
+                    return out.reshape((nq * cap,) + leaf.shape[1:])
+
+                new = jax.tree.map(g, tree)
+                return new._replace(
+                    w=(new.w.reshape(nq, cap) * om).reshape(nq * cap))
+
+            edge_corrs = compact_group(edge_corrs, n_c, cap_c)
+            plane_corrs = compact_group(plane_corrs, n_s, cap_s)
+            nc_cur, ns_cur = cap_c, cap_s
+        else:
+            nc_cur, ns_cur = n_c, n_s
 
         def small_residual(xx):
             """The few non-point rows: gauge anchor + calib extrinsic priors.
@@ -419,7 +460,7 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
 
         def residual_fn(xx):
             ec, pc = edge_corrs, plane_corrs
-            (cq, ct), (sq, st_) = point_poses(xx)
+            (cq, ct), (sq, st_) = point_poses(xx, nc_cur, ns_cur)
             re = factors.edge_residual(rot.quat_rotate(cq, ec.p) + ct, ec)
             we = factors.robust_weights(
                 jnp.sum(re * re, -1), ec.w, "huber", oc.huber_delta
@@ -437,19 +478,19 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
             chain rule through the pose graph via one *tiny* jacfwd (poses
             only, no point data)."""
             ec, pc = edge_corrs, plane_corrs
-            (cq, ct), (sq, st_) = point_poses(xx)
+            (cq, ct), (sq, st_) = point_poses(xx, nc_cur, ns_cur)
             re = factors.edge_residual(rot.quat_rotate(cq, ec.p) + ct, ec)
             we = factors.robust_weights(
                 jnp.sum(re * re, -1), ec.w, "huber", oc.huber_delta
             )
             rp = factors.plane_residual(rot.quat_rotate(sq, pc.p) + st_, pc)
             wp = factors.robust_weights(rp * rp, pc.w, "huber", oc.huber_delta)
-            Je = factors.edge_point_jacobian(cq, ec).reshape(nq, n_c, 3, 6)
-            Jp = factors.plane_point_jacobian(sq, pc).reshape(nq, n_s, 6)
-            we_g = we.reshape(nq, n_c)
-            re_g = re.reshape(nq, n_c, 3)
-            wp_g = wp.reshape(nq, n_s)
-            rp_g = rp.reshape(nq, n_s)
+            Je = factors.edge_point_jacobian(cq, ec).reshape(nq, nc_cur, 3, 6)
+            Jp = factors.plane_point_jacobian(sq, pc).reshape(nq, ns_cur, 6)
+            we_g = we.reshape(nq, nc_cur)
+            re_g = re.reshape(nq, nc_cur, 3)
+            wp_g = wp.reshape(nq, ns_cur)
+            rp_g = rp.reshape(nq, ns_cur)
             G = (jnp.einsum("qnka,qn,qnkb->qab", Je, we_g, Je)
                  + jnp.einsum("qna,qn,qnb->qab", Jp, wp_g, Jp))
             bq = (jnp.einsum("qnka,qn,qnk->qa", Je, we_g, re_g)

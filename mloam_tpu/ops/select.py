@@ -54,6 +54,29 @@ def compact_stride(values: jnp.ndarray, mask: jnp.ndarray, cap: int,
     return jnp.where(out_mask.reshape(shape), buf[sel], fill), out_mask
 
 
+def compact_gather_indices(mask: jnp.ndarray, cap: int):
+    """Gather plan for compaction: (src_idx [cap], out_mask [cap]).
+
+    Gathering any [N, ...] array with ``src_idx`` (and masking rows by
+    ``out_mask``) yields the first-``cap`` valid rows front-compacted by
+    rank; when more than ``cap`` rows are valid, an even stride over the
+    compacted order is taken (same semantics as :func:`compact_stride`).
+    One plan can compact every field of a correspondence struct with a
+    single consistent permutation.
+    """
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, rank, n)
+    src = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    num = jnp.sum(mask.astype(jnp.int32))
+    ar = jnp.arange(cap, dtype=jnp.int32)
+    strided = jnp.floor(ar.astype(jnp.float32) * num / cap).astype(jnp.int32)
+    sel = jnp.where(num <= cap, ar, strided)
+    out_mask = ar < jnp.minimum(num, cap)
+    return src[jnp.clip(sel, 0, n - 1)], out_mask
+
+
 def compact_by_mask(values: jnp.ndarray, mask: jnp.ndarray, fill=0.0):
     """Stable-compact masked rows to the front; returns (values, new_mask).
 

@@ -86,6 +86,74 @@ def make_world(
                  jnp.ones(n_poles, bool))
 
 
+def make_corridor_world(length: float = 120.0, width: float = 4.0,
+                        wall_height: float = 4.0,
+                        featured_entry: bool = True) -> World:
+    """Featureless straight corridor along +x: two parallel side walls +
+    ground + far end caps. Translation along x is geometrically
+    unobservable in the corridor interior (every surface normal is ⊥ x) —
+    the degenerate scenario the reference's solution remapping exists for
+    (Zhang's degeneracy analysis; estimator.cpp:1598-1680,
+    lidar_tracker.cpp:131-163).
+
+    ``featured_entry``: poles scattered over x ∈ [-12, 0] give the entry
+    segment full observability (the estimator learns the vehicle speed
+    there; inside the corridor the constant-velocity prediction is the
+    only source of along-x information)."""
+    half = length / 2.0
+    rect_c = jnp.array([
+        [0.0, 0.0, 0.0],                       # ground strip
+        [0.0, -width / 2.0, wall_height / 2],  # right wall
+        [0.0, width / 2.0, wall_height / 2],   # left wall
+        [half, 0.0, wall_height / 2],          # far end cap
+        [-half, 0.0, wall_height / 2],         # near end cap
+    ])
+    rect_u = jnp.array([
+        [half, 0.0, 0.0],
+        [half, 0.0, 0.0],
+        [half, 0.0, 0.0],
+        [0.0, width, 0.0],
+        [0.0, width, 0.0],
+    ])
+    rect_v = jnp.array([
+        [0.0, width, 0.0],
+        [0.0, 0.0, wall_height / 2],
+        [0.0, 0.0, wall_height / 2],
+        [0.0, 0.0, wall_height / 2],
+        [0.0, 0.0, wall_height / 2],
+    ])
+    n_poles = 8
+    if featured_entry:
+        px = jnp.linspace(-12.0, -1.0, n_poles)
+        py = jnp.where(jnp.arange(n_poles) % 2 == 0, -width / 2 + 0.4,
+                       width / 2 - 0.4)
+        cyl_xyr = jnp.stack([px, py, jnp.full((n_poles,), 0.15)], -1)
+        cyl_z = jnp.broadcast_to(jnp.array([0.0, wall_height]), (n_poles, 2))
+        cyl_mask = jnp.ones(n_poles, bool)
+    else:
+        cyl_xyr = jnp.zeros((1, 3))
+        cyl_z = jnp.zeros((1, 2))
+        cyl_mask = jnp.zeros(1, bool)
+    return World(
+        rect_center=rect_c, rect_u=rect_u, rect_v=rect_v,
+        rect_mask=jnp.ones(5, bool),
+        cyl_xyr=cyl_xyr, cyl_z=cyl_z, cyl_mask=cyl_mask,
+    )
+
+
+def make_straight_trajectory(speed: float = 2.0,
+                             wobble: float = 0.0) -> Trajectory:
+    """Constant-velocity straight line along +x (the corridor course).
+
+    Built from the sinusoid parameterization's small-angle region: a single
+    very-low-frequency term whose sin is ~linear over the run."""
+    om = 0.01
+    amp = jnp.array([[speed / om, 0.0, 0.0]])
+    freq = jnp.array([om])
+    phase = jnp.array([[0.0, jnp.pi / 2, 0.0]])
+    return Trajectory(amp, freq, phase, yaw_rate=0.0, wobble=wobble)
+
+
 def _raycast_rects(world: World, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Min positive hit distance against all rectangles. o,d: [N,3] -> [N]."""
     c, u, v = world.rect_center, world.rect_u, world.rect_v

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mloam_tpu.core import rotations as rot
 from mloam_tpu.core.se3 import Pose
@@ -56,10 +57,17 @@ def logdet_gain_select(
     Jp: jnp.ndarray, wp: jnp.ndarray,
     Je: jnp.ndarray, we: jnp.ndarray,
     ratio: float, rounds: int = 8, jitter: float = 1e-3,
+    max_ratio: float = 1.0,
 ):
     """Joint selection over plane (rank-1) and edge (rank-3) candidates.
 
     Returns (keep_p [Np] bool, keep_e [Ne] bool). Total kept ≈ ratio * valid.
+
+    ``ratio`` may be traced (the gd_float budget-adaptive path);
+    ``max_ratio`` must be a static upper bound on it — it sizes the
+    per-round top-k width so every round can admit its full quota. (The
+    old fixed 512-width clamp silently under-selected once
+    ratio * n_valid / rounds exceeded 512.)
     """
     n_p = Jp.shape[0]
     n_e = Je.shape[0]
@@ -88,8 +96,10 @@ def logdet_gain_select(
         gain_e = jnp.where(valid_e & ~keep_e, gain_e, -jnp.inf)
 
         gains = jnp.concatenate([gain_p, gain_e])
-        k = min(int(max(n_p + n_e, 1)), 512)  # static top-k width
-        vals, idx = jax.lax.top_k(gains, min(k, n_p + n_e))
+        n_total = max(n_p + n_e, 1)
+        # static width >= the worst-case per-round quota
+        k = min(n_total, max(int(np.ceil(max_ratio * n_total / rounds)), 1))
+        vals, idx = jax.lax.top_k(gains, k)
         rank = jnp.arange(vals.shape[0])
         admit = (rank < jnp.minimum(per_round, remaining)) & jnp.isfinite(vals)
         sel = jnp.zeros((n_p + n_e,), bool).at[idx].set(admit)

@@ -106,3 +106,27 @@ class TestSelection:
         edge = rand_edge_corr(jax.random.PRNGKey(7), 16)
         p2, e2 = FS.apply_selection(plane, edge, Pose.identity(), "full", 1.0)
         np.testing.assert_array_equal(p2.w, plane.w)
+
+
+def test_no_underselection_at_scale():
+    """Round-2 weak finding: the fixed 512 top-k width silently capped each
+    round's admissions, so >4096 candidates at gf_ratio 0.5 kept far fewer
+    than requested. The width now follows max_ratio * n / rounds."""
+    import jax
+
+    key = jax.random.PRNGKey(5)
+    kp, ke = jax.random.split(key)
+    plane = rand_plane_corr(kp, 6000)
+    edge = rand_edge_corr(ke, 600)
+    pose = Pose.identity()
+    Jp = FS.plane_jacobian_blocks(plane, pose)
+    Je = FS.edge_jacobian_blocks(edge, pose)
+    ratio = 0.5
+    keep_p, keep_e = FS.logdet_gain_select(Jp, plane.w, Je, edge.w, ratio,
+                                           max_ratio=ratio)
+    n_valid = int(jnp.sum(plane.w > 0)) + int(jnp.sum(edge.w > 0))
+    kept = int(jnp.sum(keep_p)) + int(jnp.sum(keep_e))
+    target = int(np.ceil(ratio * n_valid))
+    # quota rounding loses at most (rounds - 1)
+    assert kept >= target - 8, (kept, target)
+    assert kept <= target + 8

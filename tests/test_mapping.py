@@ -142,3 +142,23 @@ class TestUncertaintyAwareMapping:
         # identical points: only the per-lidar extrinsic covariance differs
         assert tr[:n].max() < 1e-4
         assert tr[n:].min() > 1.0  # rotation lever arm at 5 m range
+
+
+def test_uncertainty_weight_curve():
+    """Pin the covariance-driven factor weight to the reference's clamped
+    sqrt-info form (lidar_map_factor.hpp:34-42): w = 1 while
+    sqrt(1/tr) >= 3 (tr <= 1/9), else 1/(3*sqrt(tr))."""
+    import jax.numpy as jnp
+
+    from mloam_tpu.mapping.mapper import uncertainty_sqrt_info
+
+    tr = jnp.array([1e-6, 0.05, 1.0 / 9.0, 0.25, 1.0, 4.0, 10.0])
+    w = np.asarray(uncertainty_sqrt_info(tr))
+    np.testing.assert_allclose(w[:3], 1.0, rtol=1e-5)      # trusted region
+    np.testing.assert_allclose(w[3], 1.0 / (3 * 0.5), rtol=1e-5)
+    np.testing.assert_allclose(w[4], 1.0 / 3.0, rtol=1e-5)
+    np.testing.assert_allclose(w[5], 1.0 / 6.0, rtol=1e-5)
+    assert np.all(np.diff(w) <= 1e-7)                      # monotone decay
+    # invalid traces -> ~0 weight, never NaN
+    bad = np.asarray(uncertainty_sqrt_info(jnp.array([jnp.nan, jnp.inf])))
+    assert np.isfinite(bad).all() and (bad < 1e-2).all()
