@@ -147,7 +147,96 @@ def main():
 
     import os as _os
     lad = _os.environ.get("DUAL_LADDER", "1")
-    if lad == "4":
+    if lad == "8":
+        def combo8(cfg, ratio=0.6, clf=2048, caps=(384, 768)):
+            return dataclasses.replace(
+                cfg,
+                odometry=dataclasses.replace(
+                    cfg.odometry, gf_ratio=ratio, gf_method="stride",
+                    gf_compact=True, gn_iters=1,
+                    cap_frame_corner=caps[0], cap_frame_surf=caps[1],
+                    localmap_precap_corner=512, localmap_precap_surf=2560),
+                tracker=dataclasses.replace(cfg.tracker, gn_iters=2),
+                segmenter=dataclasses.replace(cfg.segmenter, label_iters=8),
+                features=dataclasses.replace(cfg.features,
+                                             cap_less_flat=clf),
+            )
+
+        variants = {
+            "w1_clf2k": (make_pipe(combo8(base)), run_stream),
+            "w1_clf2k_g075": (make_pipe(combo8(base, ratio=0.75)),
+                              run_stream),
+            "w1_clf2k_c448": (make_pipe(combo8(base, caps=(448, 896))),
+                              run_stream),
+            "w1_clf25": (make_pipe(combo8(base, clf=2560)), run_stream),
+        }
+    elif lad == "7":
+        def combo7(cfg, wgn=2, clf=4096, li=8):
+            return dataclasses.replace(
+                cfg,
+                odometry=dataclasses.replace(
+                    cfg.odometry, gf_ratio=0.6, gf_method="stride",
+                    gf_compact=True, gn_iters=wgn,
+                    localmap_precap_corner=512, localmap_precap_surf=2560),
+                tracker=dataclasses.replace(cfg.tracker, gn_iters=2),
+                segmenter=dataclasses.replace(cfg.segmenter, label_iters=li),
+                features=dataclasses.replace(cfg.features,
+                                             cap_less_flat=clf),
+            )
+
+        variants = {
+            "combo": (make_pipe(combo7(third)), run_stream),
+            "combo_w1": (make_pipe(combo7(third, wgn=1)), run_stream),
+            "combo_clf2k": (make_pipe(combo7(third, clf=2048)), run_stream),
+            "combo_w1_clf2k": (make_pipe(combo7(third, wgn=1, clf=2048)),
+                               run_stream),
+        }
+    elif lad == "6":
+        # combined micro-cuts: stride compaction + 2-iter tracker +
+        # tighter localmap precap + fewer label-prop rounds
+        def combo(cfg, ratio=0.6, tgn=2, pc=(512, 2560), li=8):
+            cfg = dataclasses.replace(
+                cfg,
+                odometry=dataclasses.replace(
+                    cfg.odometry, gf_ratio=ratio, gf_method="stride",
+                    gf_compact=True,
+                    localmap_precap_corner=pc[0], localmap_precap_surf=pc[1]),
+                tracker=dataclasses.replace(cfg.tracker, gn_iters=tgn),
+                segmenter=dataclasses.replace(cfg.segmenter, label_iters=li),
+            )
+            return cfg
+
+        variants = {
+            "third_st06": (make_pipe(dataclasses.replace(
+                third, odometry=dataclasses.replace(
+                    third.odometry, gf_ratio=0.6, gf_method="stride",
+                    gf_compact=True))), run_stream),
+            "combo": (make_pipe(combo(third)), run_stream),
+            "combo_li12": (make_pipe(combo(third, li=12)), run_stream),
+            "combo_tgn3": (make_pipe(combo(third, tgn=3)), run_stream),
+        }
+    elif lad == "5":
+        # tracker-skip ladder: the stage breakdown puts the scan-to-scan
+        # tracker at 2.9 ms of the 11.8 ms dual step; skip_steady drops it
+        # once warm (CV seed straight into the window solve)
+        def gfm(cfg, ratio, method="stride"):
+            return dataclasses.replace(
+                cfg, odometry=dataclasses.replace(
+                    cfg.odometry, gf_ratio=ratio, gf_method=method,
+                    gf_compact=True))
+
+        def skp(cfg):
+            return dataclasses.replace(
+                cfg, tracker=dataclasses.replace(cfg.tracker,
+                                                 skip_steady=True))
+
+        variants = {
+            "third_st06": (make_pipe(gfm(third, 0.6)), run_stream),
+            "third_st06_skip": (make_pipe(skp(gfm(third, 0.6))), run_stream),
+            "third_skip": (make_pipe(skp(third)), run_stream),
+            "half_st05_skip": (make_pipe(skp(gfm(half, 0.5))), run_stream),
+        }
+    elif lad == "4":
         # stride-decimation ladder: free even subsampling + compaction
         def gfm(cfg, ratio, method="stride"):
             return dataclasses.replace(

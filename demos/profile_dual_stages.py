@@ -39,6 +39,11 @@ def main():
     print("platform:", jax.devices()[0].platform)
     X = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
     cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
+    import dataclasses as _dc
+    if os.environ.get("DUAL_CAPS") == "third":
+        cfg = _dc.replace(cfg, odometry=_dc.replace(
+            cfg.odometry, cap_frame_corner=384, cap_frame_surf=768,
+            localmap_precap_corner=768, localmap_precap_surf=3840))
     n_total = N + 10
     w = W.make_world(jax.random.PRNGKey(0))
     traj = W.make_trajectory(jax.random.PRNGKey(1), wobble=0.05)
@@ -95,6 +100,7 @@ def main():
     print(f"{'frontend x2':12s} {(time.perf_counter()-t0)/N*1e3:7.2f} ms")
 
     # tracker (ref lidar only), chained through motion
+    fe = jax.jit(functools.partial(pipe._frontend_impl, model_idx=0))
     ffs = [fe(frame(s0, i % n_total))[0] for i in range(N + 1)]
     jax.block_until_ready(ffs)
     res, _ = pipe._track(ffs[0], ffs[1], Pose.identity())

@@ -4,7 +4,7 @@
 set -x
 cd /root/repo
 ENV="env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=/root/repo"
-stages=${@:-"slam inject_ext long calib4 scaling single mc gf"}
+stages=${@:-"slam inject_ext long calib4 scaling single mc gf corridor"}
 
 for s in $stages; do
   case $s in
@@ -20,6 +20,7 @@ for s in $stages; do
     single)  timeout 1200 $ENV python -m mloam_tpu.models.experiments single --frames 40 ;;
     mc)      timeout 2400 $ENV python -m mloam_tpu.models.experiments mc --trials 3 --frames 30 ;;
     gf)      timeout 3600 $ENV python demos/gf_tradeoff.py ;;
+    corridor) timeout 2400 $ENV python -m mloam_tpu.models.experiments corridor --frames 90 ;;
   esac
 done
 echo "ALL ARTIFACTS DONE"

@@ -557,6 +557,67 @@ def slam_test(args):
                       "loops": pipe.n_loops, **kf_ate}))
 
 
+def corridor_test(args):
+    """Degenerate-geometry program: the featureless-corridor course
+    (sim.world.make_corridor_world) run with the degeneracy remap on and
+    off, exporting the per-pose measurement-eigenvalue trace and the
+    per-axis error envelopes (the reference's calib_eig.txt / D-factor
+    logging counterpart, estimator.cpp:1598-1680 + SURVEY §5.5)."""
+    from mloam_tpu.odometry import estimator as E
+    from mloam_tpu.utils import viz
+
+    base = platforms.synthetic(n_lidars=1)
+    model = base.rig.models[0]._replace(max_range=20.0)
+    base = dataclasses.replace(
+        base, rig=dataclasses.replace(base.rig, models=(model,)))
+    w = W.make_corridor_world()
+    traj = W.make_straight_trajectory(speed=2.0, wobble=0.02)
+    imgs, gt = W.render_sequence(w, traj, model, args.frames,
+                                 noise_std=args.noise,
+                                 noise_seed=args.seed + 1000)
+    g0 = Pose(gt.q[0], gt.t[0])
+    gt_rel = np.stack([
+        np.asarray(se3.compose(se3.inverse(g0), Pose(gt.q[i], gt.t[i])).t)
+        for i in range(args.frames)
+    ])
+    d = _outdir("corridor")
+    summary = {"frames": args.frames, "noise_std": args.noise}
+    for label, thr in (("remap_on", base.odometry.eig_threshold),
+                       ("remap_off", 0.0)):
+        cfg = dataclasses.replace(base, odometry=dataclasses.replace(
+            base.odometry, eig_threshold=thr))
+        from mloam_tpu.models.pipeline import OdometryPipeline
+        pipe = OdometryPipeline(cfg)
+        est, eig_trace = [], []
+        for i in range(args.frames):
+            img = RangeImage(*[jax.tree.map(lambda x: x[i], f)
+                               for f in imgs])
+            est.append(np.asarray(pipe.process([img]).pose.t))
+            if thr > 0 and i % 10 == 9:
+                _, solve = E.optimize_window(pipe.window, cfg)
+                eig_trace.append(
+                    [i] + [float(x) for x in np.asarray(solve.eig_min)])
+        est = np.stack(est)
+        err = est - gt_rel
+        summary[label] = {
+            "ex_final_m": float(err[-1, 0]),
+            "ex_max_m": float(np.abs(err[:, 0]).max()),
+            "ey_max_m": float(np.abs(err[:, 1]).max()),
+            "ez_max_m": float(np.abs(err[:, 2]).max()),
+            "eig_min_trace": eig_trace,
+        }
+        viz.plot_trajectory(os.path.join(d, f"trajectory_{label}.png"),
+                            est, gt_rel, title=f"corridor {label}")
+        print(f"{label}: ex_final={err[-1,0]:+.2f} m "
+              f"ey_max={np.abs(err[:,1]).max():.3f} m"
+              + (f" eig_min(last)={eig_trace[-1][1:]}" if eig_trace else ""))
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: {kk: vv for kk, vv in v.items()
+                          if kk != "eig_min_trace"}
+                      for k, v in summary.items() if isinstance(v, dict)}))
+
+
 def long_test(args):
     """Long-sequence endurance run (the reference's full-bag mc_test
     counterpart): hundreds of frames with range noise, watching the two
@@ -615,7 +676,7 @@ def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="program", required=True)
     for name in ("single", "mc", "calib", "inject_ext", "scaling", "slam",
-                 "long"):
+                 "long", "corridor"):
         p = sub.add_parser(name)
         # calib needs runway: hand-eye pair accumulation + sigma2 gate
         # (~40 frames at wobble 0.25), then n_calib_samples voting frames
@@ -630,12 +691,13 @@ def main():
         if name == "slam":
             p.add_argument("--traj", choices=("wander", "loop"),
                            default="wander")
-        if name in ("slam", "long"):
+        if name in ("slam", "long", "corridor"):
             p.add_argument("--noise", type=float, default=0.02)
     args = ap.parse_args()
     {"single": single_test, "mc": mc_test, "calib": calib_test,
      "inject_ext": inject_ext_test, "scaling": scaling_test,
-     "slam": slam_test, "long": long_test}[args.program](args)
+     "slam": slam_test, "long": long_test,
+     "corridor": corridor_test}[args.program](args)
 
 
 if __name__ == "__main__":

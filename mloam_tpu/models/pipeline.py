@@ -621,6 +621,10 @@ class FullOutput(NamedTuple):
     map_pose: Pose            # map <- base (best available estimate)
     map_cov: jnp.ndarray | None
     mapped: bool              # whether the mapper ran this sweep
+    # smallest eigenvalue of the scan-to-map Hessian on mapped sweeps
+    # (the mapper's degeneracy probe, lidar_mapper_keyframe.cpp:1172-1204);
+    # None on pass-through sweeps
+    map_eig_min: jnp.ndarray | None = None
 
 
 class FullPipeline:
@@ -729,7 +733,8 @@ class FullPipeline:
                 outlier=outlier_b,
             )
             return FullOutput(
-                odom=out, map_pose=mout.pose, map_cov=mout.cov, mapped=True
+                odom=out, map_pose=mout.pose, map_cov=mout.cov, mapped=True,
+                map_eig_min=mout.eig_min,
             )
         map_pose = self.odom._compose(self.mapper_state.pose_map_odom, out.pose)
         return FullOutput(odom=out, map_pose=map_pose, map_cov=None,

@@ -106,7 +106,9 @@ def make_corridor_world(length: float = 120.0, width: float = 4.0,
         [0.0, -width / 2.0, wall_height / 2],  # right wall
         [0.0, width / 2.0, wall_height / 2],   # left wall
         [half, 0.0, wall_height / 2],          # far end cap
-        [-half, 0.0, wall_height / 2],         # near end cap
+        [-5.0, 0.0, wall_height / 2],          # entry back wall (⊥ x):
+        # the only plane with x-normal — full observability near the
+        # start; once it leaves sensor range the corridor is degenerate
     ])
     rect_u = jnp.array([
         [half, 0.0, 0.0],

@@ -97,6 +97,7 @@ def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int,
         H = J.T @ Jw                             # [D, D]
         g = Jw.T @ r                             # [D]
         cost = 0.5 * jnp.sum(w * r * r)
+    H_meas = H
     if quad_prior is not None:
         delta_fn, qp = quad_prior
         val = qp.valid.astype(H.dtype)
@@ -106,7 +107,7 @@ def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int,
         H = H + Hq
         g = g + val * qp.b + Hqd
         cost = cost + 0.5 * delta @ Hqd + val * jnp.dot(qp.b, delta)
-    return H, g, cost
+    return H, g, cost, H_meas
 
 
 def solve_normal(H: jnp.ndarray, g: jnp.ndarray, lm_lambda) -> jnp.ndarray:
@@ -160,10 +161,16 @@ def gauss_newton(
     emit monitoring via ``jax.debug.callback``."""
 
     with jax.default_matmul_precision("highest"):
-        H0, g0, c0 = _linearize(residual_fn, retract, x0, dim, quad_prior,
-                                linearize_fn)
+        H0, g0, c0, Hm0 = _linearize(residual_fn, retract, x0, dim,
+                                     quad_prior, linearize_fn)
         if remap_threshold is not None:
-            P0, eig0 = degeneracy.block_projector(H0, remap_threshold)
+            # projector from the MEASUREMENT-ONLY Hessian: the reference's
+            # evalDegenracy runs on res_ids_proj (point factors + extrinsic
+            # priors), NOT the marginalization prior (estimator.cpp:
+            # 1578-1594) — the prior's accumulated memory would otherwise
+            # mask directions the CURRENT sweep cannot observe (a corridor
+            # looks fully constrained forever once the prior matures)
+            P0, eig0 = degeneracy.block_projector(Hm0, remap_threshold)
         else:
             P0 = None
             eig0 = jnp.zeros((dim // 6 if dim % 6 == 0 else 0, 6), H0.dtype)
@@ -177,8 +184,8 @@ def gauss_newton(
             if remap_fn is not None:
                 dx = remap_fn(st.H, dx)
             x_new = retract(st.x, dx)
-            H, g, cost = _linearize(residual_fn, retract, x_new, dim,
-                                    quad_prior, linearize_fn)
+            H, g, cost, _ = _linearize(residual_fn, retract, x_new, dim,
+                                       quad_prior, linearize_fn)
             accept = cost <= st.cost
             lam = jnp.where(accept, st.lm_lambda * 0.5, st.lm_lambda * 4.0)
             lam = jnp.clip(lam, 1e-5, 1e2)
