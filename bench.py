@@ -161,6 +161,59 @@ def main():
     ate = float(np.max(ates))
     spread = (max(fps_stream) - min(fps_stream)) / fps
 
+    # ---- dual-LiDAR passes (the configuration that defines M-LOAM:
+    # rosNodeSR.cpp:72-152 dual sync path). Same 20 fps replay envelope;
+    # the realtime-tuned rig preset (platforms.realtime_tuned) is the
+    # deployment operating point measured by the round-3 chip ladders. ----
+    from mloam_tpu.core import se3
+    from mloam_tpu.core.se3 import Pose
+    from mloam_tpu.odometry import estimator as EST
+    from mloam_tpu.sim import world as W
+
+    _p("dual-lidar passes")
+    X = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+    cfg_d = platforms.realtime_tuned(
+        platforms.synthetic(n_lidars=2, extrinsic_mode=0))
+    ext = Pose(jnp.stack([Pose.identity().q, X.q]),
+               jnp.stack([Pose.identity().t, X.t]))
+
+    def render_dual(seed):
+        w = W.make_world(jax.random.PRNGKey(seed))
+        traj = W.make_trajectory(jax.random.PRNGKey(seed + 1))
+        model = cfg_d.rig.models[0]
+        s0, gt2 = W.render_sequence(w, traj, model, n_total)
+        s1, _ = W.render_sequence(w, traj, model, n_total, extrinsic=X)
+        return to_wire(s0, n_total), to_wire(s1, n_total), gt2
+
+    dual_seqs = [render_dual(s) for s in PASS_SEEDS[:3]]
+    pipe_d = OdometryPipeline(cfg_d)
+    orig_reset = pipe_d.reset
+
+    def reset_d():
+        orig_reset()
+        pipe_d.window = EST.set_extrinsics(pipe_d.window, ext)
+
+    pipe_d.reset = reset_d
+    reset_d()
+    dual_fps, dual_ates = [], []
+    for w0, w1, gt2 in dual_seqs:
+        reset_d()
+        for i in range(WARM_FRAMES):
+            out = pipe_d.process([dev_frame(w0[i]), dev_frame(w1[i])])
+        jax.block_until_ready(out.pose)
+        est_t = []
+        t0 = time.perf_counter()
+        for i in range(WARM_FRAMES, n_total):
+            out = pipe_d.process([dev_frame(w0[i]), dev_frame(w1[i])])
+            est_t.append(out.pose.t)
+        jax.block_until_ready(out.pose)
+        dual_fps.append(N_FRAMES / (time.perf_counter() - t0))
+        est = np.asarray(jnp.stack(est_t))
+        dual_ates.append(evaluation.ate_rmse(
+            est, np.asarray(gt2.t[WARM_FRAMES:n_total])))
+        _p(f"dual pass done: {dual_fps[-1]:.1f} fps, "
+           f"ate {dual_ates[-1]*100:.2f} cm")
+
     detail = {
         "mode": "streaming (1 dispatch/sweep, pipelined)",
         "frames_per_pass": N_FRAMES,
@@ -174,6 +227,12 @@ def main():
         "chunked_fps_median": round(float(np.median(fps_chunk)), 2),
         "latency_p50_ms": round(float(np.median(steady)) * 1e3, 2),
         "latency_p95_ms": round(float(np.percentile(steady, 95)) * 1e3, 2),
+        "dual_fps_passes": [round(float(f), 2) for f in dual_fps],
+        "dual_fps_median": round(float(np.median(dual_fps)), 2),
+        "dual_ate_m_per_pass": [round(float(a), 5) for a in dual_ates],
+        "dual_ate_m_worst": round(float(np.max(dual_ates)), 5),
+        "dual_vs_baseline": round(float(np.median(dual_fps) / BASELINE_FPS),
+                                  3),
         "platform": jax.devices()[0].platform,
     }
     try:

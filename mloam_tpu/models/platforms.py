@@ -80,6 +80,29 @@ def kitti() -> MloamConfig:
     )
 
 
+def realtime_tuned(cfg: MloamConfig) -> MloamConfig:
+    """The on-chip realtime operating point for multi-lidar rigs, from the
+    round-3 chip ladders (demos/profile_dual_fast.py DUAL_LADDER=5..8,
+    dual VLP-16): window gn 1 iteration + tracker gn 2 + stride-0.6
+    good-feature compaction + less-flat cap 2560 + 8 label-prop rounds +
+    localmap precaps 512/2560, on the rig-normalized 384/768 caps —
+    measured 108.9 fps median / ATE max 1.98 cm vs 86 fps / 2.62 cm for
+    the plain rig-budget config (3 disjoint sequences, worst-pass ATE).
+    The extra window iterations the default runs buy nothing once the
+    tracker seeds well; stride decimation ALSO improved ATE (fewer
+    aliased correspondences at equal map density)."""
+    return dataclasses.replace(
+        cfg,
+        odometry=dataclasses.replace(
+            cfg.odometry, gn_iters=1, gf_ratio=0.6, gf_method="stride",
+            gf_compact=True,
+            localmap_precap_corner=512, localmap_precap_surf=2560),
+        tracker=dataclasses.replace(cfg.tracker, gn_iters=2),
+        segmenter=dataclasses.replace(cfg.segmenter, label_iters=8),
+        features=dataclasses.replace(cfg.features, cap_less_flat=2560),
+    )
+
+
 def synthetic(n_lidars: int = 1, extrinsic_mode: int = 0) -> MloamConfig:
     """The simulator fixture platform (tests/bench)."""
     return _rig_budget(MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
