@@ -1,13 +1,17 @@
 """Good-feature-selection trade table: ATE / step-time vs keep ratio.
 
 The reference's goodFeatureMatching exists to SAVE CPU TIME (7 ms budget,
-estimator.h:62; 20 ms mapping, lidar_mapper.h:82) at an accuracy cost. On
-TPU the economics invert: shapes are fixed, so selection cannot shrink the
-solve — the logdet-gain scorer is pure overhead — and the only reason to
-run it is accuracy-under-degeneracy (down-weighting uninformative features)
-or as input to a future compacted solve. This table records the measured
-ATE and per-frame cost of ratio in {1.0, 0.5, 0.2} for the odometry window
-solve and the mapping scan-to-map solve (gd method), informing defaults.
+estimator.h:62; 20 ms mapping, lidar_mapper.h:82) at an accuracy cost.
+Round 3 gives selection the same payoff on TPU: with gf_compact the
+selected correspondences are COMPACTED into ~ratio-sized buffers so the
+GN shapes shrink. Two methods trade differently on chip (measured, dual
+ladders in BENCH_NOTES): 'gd' (logdet-gain rounds) buys accuracy under
+weak geometry but its top_k rounds cost more device time than the rows
+they remove; 'stride' (even decimation, the reference's rnd counterpart)
+is free and — measured — slightly IMPROVES ATE at 0.6 (fewer aliased
+correspondences at equal map density). This table records ATE and
+per-frame cost across ratios/methods for the odometry window solve and
+the mapping scan-to-map solve. Run on the TPU chip for meaningful fps.
 
 Ref: estimator.cpp:1347-1517 (odom), lidar_mapper.h:229-573 (mapping).
 """
@@ -66,23 +70,29 @@ def run_one(cfg, seed: int):
 def main():
     base = platforms.synthetic(n_lidars=1)
     table = {}
-    for domain in ("odom", "map"):
-        for ratio in (1.0, 0.5, 0.2):
-            if domain == "odom":
-                cfg = dataclasses.replace(
-                    base, odometry=dataclasses.replace(
-                        base.odometry, gf_ratio=ratio, gf_method="gd"))
-            else:
-                cfg = dataclasses.replace(
-                    base, mapping=dataclasses.replace(
-                        base.mapping, gf_ratio=ratio,
-                        gf_method="full" if ratio >= 1.0 else "gd"))
+    variants = []
+    for ratio in (1.0, 0.5, 0.2):
+        variants.append((f"odom_gd{ratio}", dataclasses.replace(
+            base, odometry=dataclasses.replace(
+                base.odometry, gf_ratio=ratio, gf_method="gd",
+                gf_compact=ratio < 1.0))))
+    for ratio in (0.6, 0.35):
+        variants.append((f"odom_stride{ratio}", dataclasses.replace(
+            base, odometry=dataclasses.replace(
+                base.odometry, gf_ratio=ratio, gf_method="stride",
+                gf_compact=True))))
+    for ratio in (1.0, 0.5, 0.2):
+        variants.append((f"map_gf{ratio}", dataclasses.replace(
+            base, mapping=dataclasses.replace(
+                base.mapping, gf_ratio=ratio,
+                gf_method="full" if ratio >= 1.0 else "gd"))))
+    for key, cfg in variants:
+        if True:
             ates, fpss = [], []
             for s in SEEDS:
                 ate, fps = run_one(cfg, s)
                 ates.append(ate)
                 fpss.append(fps)
-            key = f"{domain}_gf{ratio}"
             table[key] = {
                 "ate_cm_per_seed": [round(a * 100, 2) for a in ates],
                 "ate_cm_mean": round(float(np.mean(ates)) * 100, 2),

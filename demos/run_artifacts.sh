@@ -19,7 +19,8 @@ for s in $stages; do
                python -m mloam_tpu.models.experiments scaling --poses 1024 ;;
     single)  timeout 1200 $ENV python -m mloam_tpu.models.experiments single --frames 40 ;;
     mc)      timeout 2400 $ENV python -m mloam_tpu.models.experiments mc --trials 3 --frames 30 ;;
-    gf)      timeout 3600 $ENV python demos/gf_tradeoff.py ;;
+    # gf runs on the default (TPU) platform: its fps column is the point
+    gf)      timeout 3600 env PYTHONPATH=/root/repo python demos/gf_tradeoff.py ;;
     corridor) timeout 2400 $ENV python -m mloam_tpu.models.experiments corridor --frames 90 ;;
   esac
 done

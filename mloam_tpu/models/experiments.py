@@ -635,6 +635,11 @@ def long_test(args):
     from mloam_tpu.utils import viz
 
     cfg = platforms.synthetic(n_lidars=args.lidars)
+    if getattr(args, "kf_dist", None):
+        cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
+            cfg.mapping, keyframe_dist=args.kf_dist,
+            skip_frames=getattr(args, "map_every", None)
+            or cfg.mapping.skip_frames))
     res = run_sequence(cfg, args.frames, seed=args.seed,
                        n_lidars=args.lidars, noise_std=args.noise)
     # drift trace vs gt expressed in the ESTIMATE's frame (the trajectory
@@ -701,6 +706,13 @@ def main():
                            default="wander")
         if name in ("slam", "long", "corridor"):
             p.add_argument("--noise", type=float, default=0.02)
+        if name == "long":
+            # --kf_dist 0.1 --map_every 1 --frames 560 crosses the
+            # 512-slot keyframe ring cap (the design-limit artifact run);
+            # insertion is bounded by the mapped-sweep rate, so crossing
+            # the cap needs mapping every sweep
+            p.add_argument("--kf_dist", type=float, default=None)
+            p.add_argument("--map_every", type=int, default=None)
     args = ap.parse_args()
     {"single": single_test, "mc": mc_test, "calib": calib_test,
      "inject_ext": inject_ext_test, "scaling": scaling_test,
