@@ -3,7 +3,7 @@
 # Usage: bash demos/run_artifacts.sh [stage ...]   (default: all)
 set -x
 cd /root/repo
-ENV="env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=/root/repo"
+ENV="env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=/root/repo JAX_COMPILATION_CACHE_DIR=/root/repo/tests/.jax_cache"
 stages=${@:-"slam inject_ext long calib4 scaling single mc gf corridor"}
 
 for s in $stages; do
