@@ -67,7 +67,10 @@ def main():
     from mloam_tpu.models.run_synthetic import render
     from mloam_tpu.utils import evaluation
 
-    cfg = platforms.synthetic(n_lidars=1)
+    # the deployment operating point (chip-ladder tuned; on the single rig
+    # it is BOTH faster and more accurate than the plain config: 137.8 vs
+    # 120.0 fps median, ATE 1.49 vs 1.58 cm, 3-pass A/B 2026-08-21)
+    cfg = platforms.realtime_tuned(platforms.synthetic(n_lidars=1))
     n_total = WARM_FRAMES + N_FRAMES
 
     def to_wire(imgs, n):

@@ -81,16 +81,16 @@ def kitti() -> MloamConfig:
 
 
 def realtime_tuned(cfg: MloamConfig) -> MloamConfig:
-    """The on-chip realtime operating point for multi-lidar rigs, from the
-    round-3 chip ladders (demos/profile_dual_fast.py DUAL_LADDER=5..8,
-    dual VLP-16): window gn 1 iteration + tracker gn 2 + stride-0.6
-    good-feature compaction + less-flat cap 2560 + 8 label-prop rounds +
-    localmap precaps 512/2560, on the rig-normalized 384/768 caps —
-    measured 108.9 fps median / ATE max 1.98 cm vs 86 fps / 2.62 cm for
-    the plain rig-budget config (3 disjoint sequences, worst-pass ATE).
-    The extra window iterations the default runs buy nothing once the
-    tracker seeds well; stride decimation ALSO improved ATE (fewer
-    aliased correspondences at equal map density)."""
+    """The on-chip realtime operating point, from the round-3 chip ladders
+    (demos/profile_dual_fast.py DUAL_LADDER=5..8): window gn 1 iteration +
+    tracker gn 2 + stride-0.6 good-feature compaction + less-flat cap
+    2560 + 8 label-prop rounds + localmap precaps 512/2560. Measured on
+    chip: dual rig 108.9 fps median / ATE max 1.98 cm (vs 86 / 2.62 for
+    the plain rig budget); single rig 137.8 fps / 1.49 cm (vs 120.0 /
+    1.58) — faster AND more accurate on both rigs. The extra window
+    iterations the default runs buy nothing once the tracker seeds well;
+    stride decimation also improves ATE (fewer aliased correspondences at
+    equal map density)."""
     return dataclasses.replace(
         cfg,
         odometry=dataclasses.replace(
