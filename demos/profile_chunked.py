@@ -59,7 +59,7 @@ def main():
     def scan_step(carry, img):
         window, world, motion, prev = carry
         (window, refined, mot, desk, pred, solve,
-         outlier) = pipe._fused_step_impl(window, world, motion, prev, img)
+         outlier, _) = pipe._fused_step_impl(window, world, motion, prev, img)
         return (window, refined, mot, desk), (refined.t, solve.cost)
 
     @jax.jit

@@ -47,11 +47,28 @@ def compact_stride(values: jnp.ndarray, mask: jnp.ndarray, cap: int,
     buf = buf.at[dest].set(values, mode="drop")
     num = jnp.sum(mask.astype(jnp.int32))
     ar = jnp.arange(cap, dtype=jnp.int32)
-    strided = jnp.floor(ar.astype(jnp.float32) * num / cap).astype(jnp.int32)
+    strided = _even_stride(ar, num, cap)
     sel = jnp.where(num <= cap, ar, strided)
     out_mask = ar < jnp.minimum(num, cap)
     shape = (cap,) + (1,) * (values.ndim - 1)
     return jnp.where(out_mask.reshape(shape), buf[sel], fill), out_mask
+
+
+def _even_stride(ar: jnp.ndarray, num: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """floor(ar * num / cap) in exact integer arithmetic.
+
+    f32 would lose integer precision once ar*num exceeds ~2^24 (silent
+    duplicated/skipped source rows); int64 is unavailable without jax's
+    x64 flag. Split the product instead: ar*num = (ar*q)*cap + ar*r with
+    q, r = divmod(num, cap), so floor(ar*num/cap) = ar*q + (ar*r)//cap.
+    ar*q <= num < 2^31; ar*r < cap^2 <= 2^32 is computed in uint32 (exact
+    for the cap <= 65536 capacities used here).
+    """
+    assert cap <= 65536, "even-stride exactness requires cap <= 2^16"
+    q, r = num // cap, num % cap
+    frac = (ar.astype(jnp.uint32) * r.astype(jnp.uint32)
+            ) // jnp.uint32(cap)
+    return ar * q + frac.astype(jnp.int32)
 
 
 def compact_gather_indices(mask: jnp.ndarray, cap: int):
@@ -71,7 +88,7 @@ def compact_gather_indices(mask: jnp.ndarray, cap: int):
         jnp.arange(n, dtype=jnp.int32), mode="drop")
     num = jnp.sum(mask.astype(jnp.int32))
     ar = jnp.arange(cap, dtype=jnp.int32)
-    strided = jnp.floor(ar.astype(jnp.float32) * num / cap).astype(jnp.int32)
+    strided = _even_stride(ar, num, cap)
     sel = jnp.where(num <= cap, ar, strided)
     out_mask = ar < jnp.minimum(num, cap)
     return src[jnp.clip(sel, 0, n - 1)], out_mask

@@ -689,6 +689,17 @@ def optimize_pose_graph_dd(
     ``partition`` may be precomputed with :func:`build_partition` and
     reused across calls sharing the graph topology.
     """
+    if dof4 and (point_factors is not None or map_shard is not None):
+        # point_block/associate_block linearize with the full 6-DoF
+        # right-perturbation Jacobian (body-frame rho, full phi); the dof4
+        # step is applied via boxplus_dof4 (world-frame translation +
+        # yaw-only left rotation), so mixing them would feed roll/pitch
+        # rows into a yaw-only retraction with a mismatched translation
+        # frame. The reference's 4-DoF graph is edges-only too
+        # (pose_graph.h:199-289).
+        raise ValueError(
+            "dof4=True is only supported for edge-only pose graphs; "
+            "point_factors/map_shard use the 6-DoF linearization")
     axes = tuple(mesh.axis_names)
     n_shards = int(mesh.devices.size)
     n_hosts = int(mesh.devices.shape[0]) if len(axes) == 2 else 1

@@ -110,11 +110,23 @@ def parse_collectives(hlo_text: str, chips_per_host: int):
                 if d:
                     cnt *= int(d)
             nbytes += cnt * sz
+        # Anchor group parsing to the collective's own attribute —
+        # scanning every {digits,...} brace group on the line would also
+        # match all-gather's dimensions={...} and misclassify the fabric.
         crosses = False
-        for grp in re.findall(r"\{([0-9,]+)\}", line):
-            ids = [int(x) for x in grp.split(",")]
-            if len({i // chips_per_host for i in ids}) > 1:
-                crosses = True
+        rg = re.search(r"replica_groups=\{(\{[0-9,]+\}(?:,\{[0-9,]+\})*)\}",
+                       line)
+        if rg:
+            for grp in re.findall(r"\{([0-9,]+)\}", rg.group(1)):
+                ids = [int(x) for x in grp.split(",")]
+                if len({i // chips_per_host for i in ids}) > 1:
+                    crosses = True
+        stp = re.search(r"source_target_pairs=\{((?:\{[0-9,]+\},?)+)\}", line)
+        if stp:
+            for pair in re.findall(r"\{([0-9]+),([0-9]+)\}", stp.group(1)):
+                if int(pair[0]) // chips_per_host != \
+                        int(pair[1]) // chips_per_host:
+                    crosses = True
         kind = "dcn" if crosses else "ici"
         out[kind]["bytes"] += nbytes
         out[kind]["count"] += 1

@@ -70,6 +70,21 @@ class TestExactEquivalence:
         np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
                                    atol=1e-4)
 
+    def test_dof4_rejects_point_factors(self, graph, meshes):
+        """point_block linearizes with the 6-DoF right-perturbation
+        Jacobian; combining it with the yaw-only dof4 retraction would be
+        an inconsistent linearization and must be refused."""
+        poses, edges, _ = graph
+        n = poses.q.shape[0]
+        ms = DD.MapShard(
+            pts=jnp.zeros((n, 4, 3)), anchors=jnp.zeros((n, 4, 3)),
+            normals=jnp.zeros((n, 4, 3)), w=jnp.zeros((n, 4)),
+            valid=jnp.zeros((n, 4)),
+        )
+        with pytest.raises(ValueError, match="dof4"):
+            DD.optimize_pose_graph_dd(poses, edges, meshes[0], iters=1,
+                                      dof4=True, map_shard=ms)
+
     def test_converges_to_gt(self, graph, meshes):
         poses, edges, gt = graph
         err0 = float(jnp.linalg.norm(poses.t - gt.t, axis=1).mean())

@@ -154,6 +154,29 @@ class TestSelect:
         out, nm = select.compact_stride(v, m, cap=3)
         assert not nm.any() and (out == 0).all()
 
+    def test_compact_gather_indices_matches_compact_stride(self):
+        rng = np.random.default_rng(3)
+        n, cap = 200, 16
+        v = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+        m = jnp.asarray(rng.random(n) < 0.6)
+        src, om = select.compact_gather_indices(m, cap)
+        ref, rm = select.compact_stride(v, m, cap)
+        np.testing.assert_array_equal(np.asarray(om), np.asarray(rm))
+        got = np.where(np.asarray(om)[:, None], np.asarray(v)[src], 0.0)
+        np.testing.assert_allclose(got, np.asarray(ref))
+
+    def test_even_stride_exact_at_large_products(self):
+        # f32 floor(ar*num/cap) loses integer precision past ~2^24;
+        # the split-product integer form must stay exact (no duplicated
+        # or skipped source rows) at the largest supported cap
+        cap = 65536
+        for num in (65535, 50000, 123457):
+            ar = jnp.arange(cap, dtype=jnp.int32)
+            got = np.asarray(select._even_stride(ar, jnp.int32(num), cap))
+            want = (np.arange(cap, dtype=np.int64) * num) // cap
+            np.testing.assert_array_equal(got, want)
+            assert got.max() < num
+
 
 class TestRangeImage:
     def test_project_roundtrip(self):
