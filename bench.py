@@ -217,6 +217,83 @@ def main():
         _p(f"dual pass done: {dual_fps[-1]:.1f} fps, "
            f"ate {dual_ates[-1]*100:.2f} cm")
 
+    # ---- full-pipeline pass (odometry + mapping at SKIP_NUM_ODOM_PUB
+    # cadence, lidar_mapper_keyframe.cpp:1256) and slam pass (+ loop
+    # closure at keyframe cadence). Each records pipelined throughput AND
+    # per-sweep blocking latency split by sweep kind — the keyframe-sweep
+    # p95 is the real-time gate (sensor period 100 ms). ----
+    import dataclasses as _dc
+
+    from mloam_tpu.models.pipeline import FullPipeline, SlamPipeline
+
+    _p("full-pipeline pass (map cadence)")
+    full_frames = n_total
+    pipe_full = FullPipeline(cfg)
+    lat_all, lat_mapped = [], []
+    for i in range(full_frames):
+        t0 = time.perf_counter()
+        fout = pipe_full.process([dev_frame(imgs[i])])
+        jax.block_until_ready(fout.map_pose)
+        dt = time.perf_counter() - t0
+        if i >= WARM_FRAMES:
+            lat_all.append(dt)
+            if fout.mapped:
+                lat_mapped.append(dt)
+    # pipelined throughput on a disjoint sequence
+    pipe_full = FullPipeline(cfg)
+    w2, gt2 = tp_seqs[0]
+    for i in range(WARM_FRAMES):
+        fout = pipe_full.process([dev_frame(w2[i])])
+    jax.block_until_ready(fout.map_pose)
+    t0 = time.perf_counter()
+    for i in range(WARM_FRAMES, n_total):
+        fout = pipe_full.process([dev_frame(w2[i])])
+    jax.block_until_ready(fout.map_pose)
+    full_fps = N_FRAMES / (time.perf_counter() - t0)
+    _p(f"full pipeline: {full_fps:.1f} fps, mapped-sweep p95 "
+       f"{np.percentile(lat_mapped, 95)*1e3:.0f} ms")
+
+    _p("slam pass (loop cadence, material-drift course)")
+    from mloam_tpu.sim import world as _W2
+
+    cfg_s = _dc.replace(
+        cfg,
+        mapping=_dc.replace(cfg.mapping, keyframe_dist=0.5,
+                            surround_radius=15.0, surround_rebuild_dist=3.0),
+        loop=_dc.replace(cfg.loop, skip_interval=1, num_exclude_recent=10,
+                         loop_distance_threshold=10.0, capacity=256,
+                         use_global_registration=True),
+    )
+    w_s = _W2.make_world(jax.random.PRNGKey(5), extent=30.0, n_walls=24,
+                         n_poles=12)
+    traj_s = _W2.make_loop_trajectory(radius=8.0, period_s=12.0)
+    slam_frames = int(os.environ.get("BENCH_SLAM_FRAMES", "130"))
+    imgs_s, _ = _W2.render_sequence(w_s, traj_s, cfg_s.rig.models[0],
+                                    slam_frames, noise_std=0.03,
+                                    noise_seed=77)
+    wire_s = to_wire(imgs_s, slam_frames)
+    pipe_s = SlamPipeline(cfg_s)
+    slat_all, slat_mapped, slat_kf = [], [], []
+    prev_kf = 0
+    for i in range(slam_frames):
+        t0 = time.perf_counter()
+        sout = pipe_s.process([dev_frame(wire_s[i])])
+        jax.block_until_ready(sout.full.map_pose)
+        dt = time.perf_counter() - t0
+        is_kf = pipe_s.loop_kf_count != prev_kf
+        prev_kf = pipe_s.loop_kf_count
+        # generous warm window: mapper + loop programs compile lazily as
+        # the first keyframes/detections appear
+        if i >= 40:
+            slat_all.append(dt)
+            if is_kf:
+                slat_kf.append(dt)
+            elif sout.full.mapped:
+                slat_mapped.append(dt)
+    kf_sweeps = np.asarray(slat_kf) if slat_kf else np.asarray([0.0])
+    _p(f"slam: {len(slat_kf)} kf sweeps, kf p95 "
+       f"{np.percentile(kf_sweeps, 95)*1e3:.0f} ms, loops {pipe_s.n_loops}")
+
     detail = {
         "mode": "streaming (1 dispatch/sweep, pipelined)",
         "frames_per_pass": N_FRAMES,
@@ -236,6 +313,20 @@ def main():
         "dual_ate_m_worst": round(float(np.max(dual_ates)), 5),
         "dual_vs_baseline": round(float(np.median(dual_fps) / BASELINE_FPS),
                                   3),
+        "full_pipeline_fps": round(float(full_fps), 2),
+        "full_latency_p50_ms": round(
+            float(np.median(lat_all)) * 1e3, 2),
+        "full_mapped_sweep_p95_ms": round(
+            float(np.percentile(lat_mapped, 95)) * 1e3, 2),
+        "slam_frames": slam_frames,
+        "slam_n_loops": int(pipe_s.n_loops),
+        "slam_kf_sweeps": len(slat_kf),
+        "slam_sweep_p50_ms": round(
+            float(np.median(slat_all)) * 1e3, 2) if slat_all else None,
+        "slam_kf_sweep_p50_ms": round(
+            float(np.median(kf_sweeps)) * 1e3, 2),
+        "slam_kf_sweep_p95_ms": round(
+            float(np.percentile(kf_sweeps, 95)) * 1e3, 2),
         "platform": jax.devices()[0].platform,
     }
     try:

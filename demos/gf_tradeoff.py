@@ -9,9 +9,14 @@ ladders in BENCH_NOTES): 'gd' (logdet-gain rounds) buys accuracy under
 weak geometry but its top_k rounds cost more device time than the rows
 they remove; 'stride' (even decimation, the reference's rnd counterpart)
 is free and — measured — slightly IMPROVES ATE at 0.6 (fewer aliased
-correspondences at equal map density). This table records ATE and
-per-frame cost across ratios/methods for the odometry window solve and
-the mapping scan-to-map solve. Run on the TPU chip for meaningful fps.
+correspondences at equal map density). This table records ATE across ratios/methods for the odometry window
+solve and the mapping scan-to-map solve. It deliberately carries NO fps
+columns: unchained per-frame submissions fan out across the tunnel's
+worker pool and report fantasy rates (BENCH_NOTES methodology findings —
+the old table mixed 388 and 27 "fps" for variants whose chained on-chip
+delta is ~1 ms). Timing evidence for the tuned operating point lives in
+the chained dual ladders (demos/profile_dual_fast.py, BENCH_NOTES) and
+bench.py.
 
 Ref: estimator.cpp:1347-1517 (odom), lidar_mapper.h:229-573 (mapping).
 """
@@ -52,19 +57,14 @@ def run_one(cfg, seed: int):
                                  noise_seed=seed + 1000)
     pipe = FullPipeline(cfg)
     est = []
-    t_steady = None
     for i in range(N_FRAMES):
         img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
-        if i == 10:
-            jax.block_until_ready(est[-1])
-            t_steady = time.perf_counter()
         out = pipe.process([img])
         est.append(out.map_pose.t)
     jax.block_until_ready(est[-1])
-    wall = time.perf_counter() - t_steady
     est = np.stack([np.asarray(t) for t in est])
     ate = evaluation.ate_rmse(est, np.asarray(gt.t[:N_FRAMES]))
-    return ate, (N_FRAMES - 10) / wall
+    return ate
 
 
 def main():
@@ -88,21 +88,21 @@ def main():
                 gf_method="full" if ratio >= 1.0 else "gd"))))
     for key, cfg in variants:
         if True:
-            ates, fpss = [], []
-            for s in SEEDS:
-                ate, fps = run_one(cfg, s)
-                ates.append(ate)
-                fpss.append(fps)
+            ates = [run_one(cfg, s) for s in SEEDS]
             table[key] = {
                 "ate_cm_per_seed": [round(a * 100, 2) for a in ates],
                 "ate_cm_mean": round(float(np.mean(ates)) * 100, 2),
-                "fps_mean": round(float(np.mean(fpss)), 1),
             }
             print(key, table[key], flush=True)
     os.makedirs("results/gf", exist_ok=True)
     with open("results/gf/summary.json", "w") as f:
         json.dump({"frames": N_FRAMES, "seeds": list(SEEDS),
                    "platform": jax.devices()[0].platform,
+                   "fps_note": "no fps columns by design: unchained "
+                               "per-frame dispatch rates are not "
+                               "trustworthy on the tunnel; see "
+                               "BENCH_NOTES dual ladders for chained "
+                               "timing of these variants",
                    "table": table}, f, indent=2)
     print(json.dumps(table))
 

@@ -57,9 +57,30 @@ class TrackerConfig:
     outer_iters: int = 1
     gn_iters: int = 3
     huber_delta: float = 0.1
+    # robust loss on the scan-to-scan factors: "huber" (reference default),
+    # "gm" (GemanMcClureLoss), "gnc_gm" (graduated surrogate annealed to
+    # GM across the GN iterations) — the reference's loss_mode/gnc launch
+    # args (mloam_simu_jackal.launch:16-18, impl_loss_function.hpp:94-125).
+    # Set on all three solvers at once via config.with_loss_mode().
+    loss_mode: str = "huber"
+    gm_c: float = 1.0                # GM scale on the SQUARED residual norm
+    gnc_mu_init: float = 20.0        # reference test_icp.cpp:64 schedule seed
     dist_sq_threshold: float = 25.0
     nearby_scan: float = 2.5
     deskew: bool = True
+    # Degeneracy solution-remapping in the scan-to-scan solve. The
+    # reference wrote this for the tracker (lidar_tracker.cpp:131-163,
+    # threshold 10) but ships it commented out (:108) — yet the tracker is
+    # the FIRST solve on the prediction chain: spurious information that
+    # corrupts the scan-to-scan motion (e.g. a companion object moving
+    # with the vehicle in an otherwise-degenerate corridor) propagates
+    # into the window seed, where the window's own remap can only freeze
+    # the already-corrupted value. 0.0 disables (the reference's shipped
+    # behavior); the calibrated default engages below the measured
+    # corridor information floor while staying far under feature-rich
+    # floors (results/corridor; calibration in the
+    # models/experiments.py corridor program).
+    eig_threshold: float = 0.0
     # Steady-state fast path: skip the scan-to-scan solve once the window is
     # warm and use the constant-velocity prediction directly; the window GN
     # (scan-to-local-map, a strictly richer problem) refines the pose, and
@@ -88,10 +109,46 @@ class OdometryConfig:
     outer_iters: int = 1
     max_solver_time_s: float = 0.02
     huber_delta: float = 0.1
+    # robust loss on the window point factors (see TrackerConfig.loss_mode)
+    loss_mode: str = "huber"
+    gm_c: float = 1.0
+    gnc_mu_init: float = 20.0
     corner_map_leaf: float = 0.2
     surf_map_leaf: float = 0.4
     dist_sq_threshold: float = 1.0   # MIN_MATCH_SQ_DIS
-    eig_threshold: float = 50.0      # odometry degeneracy lambda init
+    # Window degeneracy threshold (the reference's eig_thre_ vector,
+    # estimator.cpp:1598-1680, tuned per platform config). Calibrated
+    # against measured per-block SPECTRA (demos/calibrate_eig.py +
+    # results/corridor, range noise 0.01): the degenerate direction's
+    # eigenvalue (e0) sits at ~60-160 in the tunnel scenarios while
+    # feature-rich blocks never drop below ~232. Freezing is capped to
+    # the single lowest direction (remap_max_freeze below) because the
+    # second eigenvalue's noise floor overlaps e0's band — freezing
+    # all-below-threshold captured observable directions and turned a
+    # 4 m corridor drift into 19-27 m on measured runs. With the cap,
+    # the threshold's only upper bound is the feature-rich floor, so 175
+    # engages reliably (even through outlier bursts that push e0 to
+    # ~160) and stays silent on observed scenes.
+    eig_threshold: float = 175.0
+    # cap on frozen directions per block (degeneracy.block_projector):
+    # 1 = freeze only the provably-degenerate leading direction; None =
+    # the reference's freeze-all-below rule (safe only with a wide
+    # eigengap).
+    remap_max_freeze: int | None = 1
+    # one SHARED projector across the window blocks (built from the mean
+    # non-anchored block) instead of per-block projectors: per-block
+    # eigvectors jitter block-to-block, freezing slightly different
+    # directions per pose and corrupting RELATIVE window motion (measured:
+    # 2.7 m rigid drift -> 7-19 m under per-block freezing; see
+    # degeneracy.block_projector)
+    remap_shared: bool = True
+    # degeneracy-consistent marginalization: also project the MEASUREMENT
+    # rows with the solve's eigprojector before Schur-eliminating the
+    # pivot, so rejected (frozen-direction) gradients are not stored in
+    # the prior — without this, every freezing variant measured WORSE
+    # than no remap at all (the stored pull leaks through the frozen
+    # vector's impurity into observable axes; see marginalize_pivot)
+    remap_project_prior: bool = True
     gauge_weight: float = 30.0       # weak absolute anchor on the pivot pose
     # good-feature selection inside the window solve (the reference's
     # goodFeatureMatching runs in optimizeMap's pure-odometry branch,
@@ -156,6 +213,10 @@ class MappingConfig:
     keyframe_angle_deg: float = 1.0
     outer_iters: int = 2
     gn_iters: int = 10
+    # robust loss on the scan-to-map factors (see TrackerConfig.loss_mode)
+    loss_mode: str = "huber"
+    gm_c: float = 1.0
+    gnc_mu_init: float = 20.0
     eig_threshold: float = 100.0
     trace_threshold: float = 10.0    # reject points with cov trace above
     voxel_trace_threshold: float = 2.0
@@ -241,3 +302,19 @@ class MloamConfig:
 
     def replace(self, **kw) -> "MloamConfig":
         return dataclasses.replace(self, **kw)
+
+
+def with_loss_mode(cfg: MloamConfig, mode: str,
+                   gm_c: float | None = None) -> MloamConfig:
+    """Set the robust loss on all three point-factor solvers at once — the
+    counterpart of the reference's single loss_mode/gnc launch-arg pair
+    (``estimator/launch/mloam_simu_jackal.launch:16-18``)."""
+    kw = {"loss_mode": mode}
+    if gm_c is not None:
+        kw["gm_c"] = gm_c
+    return dataclasses.replace(
+        cfg,
+        tracker=dataclasses.replace(cfg.tracker, **kw),
+        odometry=dataclasses.replace(cfg.odometry, **kw),
+        mapping=dataclasses.replace(cfg.mapping, **kw),
+    )

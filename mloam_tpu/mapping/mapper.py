@@ -30,7 +30,7 @@ from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend.features import FeatCloud
 from mloam_tpu.mapping import keyframes as KF
 from mloam_tpu.ops import select, voxel
-from mloam_tpu.solver import degeneracy, factors
+from mloam_tpu.solver import degeneracy, factors, robust
 from mloam_tpu.solver.gauss_newton import gauss_newton
 
 
@@ -84,11 +84,20 @@ class MapperOutput(NamedTuple):
 
 
 def uncertainty_sqrt_info(trace: jnp.ndarray) -> jnp.ndarray:
-    """The reference's covariance-driven factor weight
-    (``lidar_map_factor.hpp:34-42``): s = sqrt(1/trace(cov_point)); the
-    point is fully trusted (weight 1) while s >= 3 — i.e. trace <= 1/9 —
-    and decays as s/3 = 1/(3*sqrt(trace)) beyond. NaN/invalid traces map
-    to a large trace (weight -> ~0); pinned by
+    """Normalized/clamped variant of the reference's covariance-driven
+    factor weight (``lidar_map_factor.hpp:33-42``): s = sqrt(1/trace);
+    the point is fully trusted (weight 1) while s >= 3 — i.e.
+    trace <= 1/9 — and decays as s/3 = 1/(3*sqrt(trace)) beyond.
+
+    Deliberate deviation: the reference uses the *unclamped* sqrt(1/trace)
+    as the factor weight and instead hard-rejects points with
+    trace > TRACE_THRESHOLD_MAPPING before matching
+    (``lidar_mapper_keyframe.cpp:384``). We keep that trace gate
+    (``downsample_scan``: ``tr < mc.trace_threshold``) but normalize the
+    surviving weights into [0, 1] so the robust-loss delta keeps a stable
+    scale; high-confidence points are therefore *relatively* down-weighted
+    vs the reference. NaN/invalid traces map to a large trace
+    (weight -> ~0); pinned by
     tests/test_mapping.py::test_uncertainty_weight_curve."""
     tr = jnp.maximum(jnp.nan_to_num(trace, nan=1e6, posinf=1e6), 1e-12)
     s = jnp.sqrt(1.0 / tr)
@@ -324,16 +333,18 @@ def scan_to_map(
                 key=jax.random.fold_in(jax.random.PRNGKey(17), state.step),
             )
 
-        def linearize_fn(T: Pose):
+        def linearize_fn(T: Pose, mu=1.0):
             """Closed-form single-pose normal equations (the analytic
             LidarMap{Edge,PlaneNorm}Factor Jacobians, batched)."""
             re = factors.edge_residual(se3.transform_points(T, ec.p), ec)
             we = factors.robust_weights(
-                jnp.sum(re * re, -1), ec.w, "huber", cfg.odometry.huber_delta
+                jnp.sum(re * re, -1), ec.w, mc.loss_mode,
+                cfg.odometry.huber_delta, gm_c=mc.gm_c, gnc_mu=mu,
             )
             rp = factors.plane_residual(se3.transform_points(T, pc.p), pc)
             wp = factors.robust_weights(
-                rp * rp, pc.w, "huber", cfg.odometry.huber_delta
+                rp * rp, pc.w, mc.loss_mode,
+                cfg.odometry.huber_delta, gm_c=mc.gm_c, gnc_mu=mu,
             )
             qe = jnp.broadcast_to(T.q, (ec.p.shape[0], 4))
             qp = jnp.broadcast_to(T.q, (pc.p.shape[0], 4))
@@ -354,7 +365,11 @@ def scan_to_map(
             dim=6,
             iters=mc.gn_iters,
             remap_threshold=mc.eig_threshold,
+            remap_max_freeze=cfg.odometry.remap_max_freeze,
             linearize_fn=linearize_fn,
+            mu_schedule=(robust.gnc_mu_schedule(mc.gnc_mu_init,
+                                                mc.gn_iters + 1)
+                         if mc.loss_mode == "gnc_gm" else None),
         )
         pose = st.x
         result = st

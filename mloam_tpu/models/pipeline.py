@@ -64,6 +64,13 @@ class OdometryOutput(NamedTuple):
     cost: jnp.ndarray
     n_corner: jnp.ndarray
     n_surf: jnp.ndarray
+    # degeneracy diagnostics (the reference's calib_eig.txt / D-factor
+    # logging, estimator.cpp:1598-1680): full [n_blocks, 6] ascending
+    # measurement eigenvalues per window block, and the tracker solve's [6]
+    # ascending eigenvalues (zeros when tracker remap is off). None on
+    # paths that skip the solve.
+    win_eig: jnp.ndarray | None = None
+    trk_eig: jnp.ndarray | None = None
 
 
 class OdometryPipeline:
@@ -311,13 +318,13 @@ class OdometryPipeline:
             )
             prev_refined = Pose(window.poses.q[-2], window.poses.t[-2])
             motion = se3.compose(se3.inverse(prev_refined), refined)
-            return window, refined, motion, desk, pred, solve, outlier
+            return window, refined, motion, desk, pred, solve, outlier, None
         res, desk = TR.track(prev_feat0, ff, motion0, self.cfg.tracker)
         window, solve, pred, refined = self._window_step_impl(
             window, world_pose, res.pose, (res.pose,), (corner,), (surf,),
             mode2=False, calibrate_ext=False, lidars=(0,),
         )
-        return window, refined, res.pose, desk, pred, solve, outlier
+        return window, refined, res.pose, desk, pred, solve, outlier, res.eig
 
     def _fused_multi_impl(self, window, world_pose, motion0, prev_feat0,
                           imgs):
@@ -352,9 +359,11 @@ class OdometryPipeline:
             desk = (FeatureFrame(
                 *[TR.deskew_features(motion0, f) for f in ff0]
             ) if self.cfg.tracker.deskew else ff0)
+            trk_eig = None
         else:
             res, desk = TR.track(prev_feat0, ff0, motion0, self.cfg.tracker)
             motion = res.pose
+            trk_eig = res.eig
         window, solve, pred, refined = self._window_step_impl(
             window, world_pose, motion, (motion,) * L, tuple(corners),
             tuple(surfs), mode2=False, calibrate_ext=False,
@@ -363,7 +372,8 @@ class OdometryPipeline:
         if self.cfg.tracker.skip_steady:
             prev_refined = Pose(window.poses.q[-2], window.poses.t[-2])
             motion = se3.compose(se3.inverse(prev_refined), refined)
-        return window, refined, motion, desk, pred, solve, tuple(outliers)
+        return (window, refined, motion, desk, pred, solve, tuple(outliers),
+                trk_eig)
 
     def _chunked_impl(self, carry, imgs_stacked):
         """lax.scan over K sweeps of the fused steady-path step (single- or
@@ -375,12 +385,12 @@ class OdometryPipeline:
             window, world, motion, prev = c
             if L == 1:
                 (window, refined, mot, desk, pred, solve,
-                 outlier) = self._fused_step_impl(
+                 outlier, _) = self._fused_step_impl(
                     window, world, motion, prev, xs)
                 outliers = (outlier,)
             else:
                 (window, refined, mot, desk, pred, solve,
-                 outliers) = self._fused_multi_impl(
+                 outliers, _) = self._fused_multi_impl(
                     window, world, motion, prev, xs)
             ys = (refined.q, refined.t, pred.q, pred.t, solve.cost,
                   solve.n_corner, solve.n_surf, outliers)
@@ -495,7 +505,7 @@ class OdometryPipeline:
             and self.frame_idx >= cfg.odometry.window_size
         ):
             (self.window, refined, motion, desk, pred,
-             solve, outliers) = self._fused_multi(
+             solve, outliers, trk_eig) = self._fused_multi(
                 self.window, self.world_pose, self.motions[0],
                 self.prev_feats[0], tuple(imgs),
             )
@@ -508,6 +518,7 @@ class OdometryPipeline:
                 pose=refined, pose_predict=pred, extrinsics=self.window.ext,
                 ext_mode=self.ext_mode, cost=solve.cost,
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
+                win_eig=solve.eig_blocks, trk_eig=trk_eig,
             )
 
         # fast path: steady single-lidar odometry — one dispatch per sweep
@@ -517,7 +528,7 @@ class OdometryPipeline:
             and self.frame_idx >= cfg.odometry.window_size
         ):
             (self.window, refined, motion, desk, pred,
-             solve, outlier0) = self._fused(
+             solve, outlier0, trk_eig) = self._fused(
                 self.window, self.world_pose, self.motions[0],
                 self.prev_feats[0], imgs[0],
             )
@@ -530,6 +541,7 @@ class OdometryPipeline:
                 pose=refined, pose_predict=pred, extrinsics=self.window.ext,
                 ext_mode=self.ext_mode, cost=solve.cost,
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
+                win_eig=solve.eig_blocks, trk_eig=trk_eig,
             )
 
         ffs, corners, surfs = [], [], []
@@ -603,6 +615,7 @@ class OdometryPipeline:
                 pose=refined, pose_predict=pred, extrinsics=self.window.ext,
                 ext_mode=self.ext_mode, cost=solve.cost,
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
+                win_eig=solve.eig_blocks, trk_eig=res0.eig,
             )
         else:
             self.window, pred = self._push_only(*step_args, mode2=mode2)
@@ -611,6 +624,7 @@ class OdometryPipeline:
                 pose=pred, pose_predict=pred, extrinsics=self.window.ext,
                 ext_mode=self.ext_mode, cost=res0.cost,
                 n_corner=res0.n_edge, n_surf=res0.n_plane,
+                trk_eig=res0.eig,
             )
         self.frame_idx += 1
         return out
@@ -625,6 +639,10 @@ class FullOutput(NamedTuple):
     # (the mapper's degeneracy probe, lidar_mapper_keyframe.cpp:1172-1204);
     # None on pass-through sweeps
     map_eig_min: jnp.ndarray | None = None
+    # device-side bool: the mapper inserted a keyframe this sweep (None on
+    # pass-through sweeps). NOT fetched here — SlamPipeline reads it one
+    # sweep later so the keyframe path never blocks on the mapper program
+    inserted_kf: jnp.ndarray | None = None
 
 
 class FullPipeline:
@@ -654,6 +672,8 @@ class FullPipeline:
         # /extrinsics topic once status drops to 0,
         # lidar_mapper_keyframe.cpp:1028-1046)
         self._ext_cov_installed = False
+        # last mapped sweep's merged (corner, surf) base-frame clouds
+        self.last_merged = None
 
     def _install_ext_cov(self):
         """Plumb the frozen calibration covariance (OdometryPipeline.ext_cov,
@@ -732,9 +752,12 @@ class FullPipeline:
                 self.mapper_state, out.pose, corner_b, surf_b,
                 outlier=outlier_b,
             )
+            # cache this sweep's merged clouds for SlamPipeline's deferred
+            # keyframe handling (avoids re-dispatching _merge there)
+            self.last_merged = (corner_b, surf_b)
             return FullOutput(
                 odom=out, map_pose=mout.pose, map_cov=mout.cov, mapped=True,
-                map_eig_min=mout.eig_min,
+                map_eig_min=mout.eig_min, inserted_kf=mout.inserted_kf,
             )
         map_pose = self.odom._compose(self.mapper_state.pose_map_odom, out.pose)
         return FullOutput(odom=out, map_pose=map_pose, map_cov=None,
@@ -774,12 +797,24 @@ class SlamPipeline:
         self._PGraph = PGraph
         self.kf_counter = 0
         self.n_loops = 0
+        # host mirror of loop_state.count (add_keyframe increments it iff
+        # below capacity) — tracking it here removes the blocking
+        # device_get(count) from the keyframe sweep
+        self._loop_capacity = int(
+            loop_capacity if loop_capacity is not None else cfg.loop.capacity)
+        self.loop_kf_count = 0
         # pending detections awaiting temporal consistency:
         # list of (query_idx, cand_idx, zq, zt, correction_t [3])
         self._pending_loops: list = []
         # in-flight detect/verify submission: (q_idx, found, cand, zq, zt)
         # device arrays, fetched one sweep later (see _drain_verify)
         self._pending_verify = None
+        # deferred keyframe handling: (inserted_kf device flag, map pose,
+        # merged clouds) from the last mapped sweep — the flag is read one
+        # sweep later, when the mapper program has long finished, so the
+        # keyframe sweep never blocks on its own mapper dispatch (the
+        # blocking device_get handshake costs 30-60 ms on the tunnel)
+        self._pending_kf = None
         self._add_kf = jax.jit(
             functools.partial(PGraph.add_keyframe, cfg=cfg.loop)
         )
@@ -838,7 +873,13 @@ class SlamPipeline:
         return True
 
     def corrected_trajectory(self):
-        """Loop-corrected keyframe trajectory (valid prefix)."""
+        """Loop-corrected keyframe trajectory (valid prefix).
+
+        Drains the in-flight keyframe handling and loop verification first
+        (both are pipelined one sweep behind, so the final keyframe and
+        its loop would be silently dropped at the end of a sequence for
+        callers that never call :meth:`flush`)."""
+        self.flush()
         n = int(self.loop_state.count)
         return (
             np.asarray(self.loop_state.poses.t[:n]),
@@ -865,33 +906,56 @@ class SlamPipeline:
                 q_idx_host, int(jax.device_get(cand)), zq, zt)
         return False
 
-    def process(self, imgs: list[RangeImage]) -> SlamOutput:
+    def _drain_kf(self):
+        """Handle the PREVIOUS mapped sweep's keyframe insertion: read its
+        inserted flag (ready by now — no blocking on in-flight work), and
+        if the mapper inserted a loop-interval keyframe, push it into the
+        loop graph and submit detection/verification asynchronously.
+
+        This is the second pipelining stage of the loop path (the first is
+        _drain_verify): the reference runs the whole loop module in its
+        own process (loop_closure_node.cpp:167-291); here each keyframe's
+        scan-context insert + detect/verify ride one-sweep-delayed device
+        dispatches, so the keyframe sweep costs only its own mapped
+        dispatch plus two async submissions — no device round trips."""
         cfg = self.cfg
+        if self._pending_kf is None:
+            return
+        ins_flag, map_pose, merged = self._pending_kf
+        self._pending_kf = None
+        if not bool(jax.device_get(ins_flag)):
+            return
+        self.kf_counter += 1
+        if self.kf_counter % max(cfg.loop.skip_interval, 1) != 0:
+            return
+        corner_b, surf_b = merged
+        self.loop_state = self._add_kf(
+            self.loop_state, map_pose, corner_b, surf_b
+        )
+        if self.loop_kf_count < self._loop_capacity:
+            self.loop_kf_count += 1
+        q_idx_host = self.loop_kf_count - 1
+        if q_idx_host > cfg.loop.num_exclude_recent:
+            # submit detection+verification WITHOUT fetching — the
+            # result is drained at the next sweep
+            found, cand, zq, zt, dist, reg = self._try_loop(
+                self.loop_state, jnp.asarray(q_idx_host)
+            )
+            self._pending_verify = (q_idx_host, found, cand, zq, zt)
+
+    def process(self, imgs: list[RangeImage]) -> SlamOutput:
         out = self.full.process(imgs)
         loop_found = self._drain_verify()
-        if out.mapped and int(jax.device_get(
-                self.full.mapper_state.db.head)) != self.kf_counter:
-            # a keyframe was inserted by the mapper this sweep
-            self.kf_counter = int(self.full.mapper_state.db.head)
-            if self.kf_counter % max(cfg.loop.skip_interval, 1) == 0:
-                corner_b, surf_b = self.full._merge(
-                    self.full.odom.window.ext, self.full.odom.window.corner,
-                    self.full.odom.window.surf,
-                )
-                self.loop_state = self._add_kf(
-                    self.loop_state, out.map_pose, corner_b, surf_b
-                )
-                q_idx_host = int(jax.device_get(self.loop_state.count)) - 1
-                if q_idx_host > cfg.loop.num_exclude_recent:
-                    # submit detection+verification WITHOUT fetching — the
-                    # result is drained at the next sweep
-                    found, cand, zq, zt, dist, reg = self._try_loop(
-                        self.loop_state, jnp.asarray(q_idx_host)
-                    )
-                    self._pending_verify = (q_idx_host, found, cand, zq, zt)
+        self._drain_kf()
+        if out.mapped and out.inserted_kf is not None:
+            self._pending_kf = (out.inserted_kf, out.map_pose,
+                                self.full.last_merged)
         return SlamOutput(full=out, loop_found=loop_found,
                           n_loops=self.n_loops)
 
     def flush(self) -> bool:
-        """Drain any in-flight loop verification (end of sequence)."""
-        return self._drain_verify()
+        """Drain the in-flight keyframe handling and loop verification
+        (end of sequence)."""
+        found = self._drain_verify()
+        self._drain_kf()
+        return self._drain_verify() or found

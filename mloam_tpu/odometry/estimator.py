@@ -41,7 +41,7 @@ from mloam_tpu.core import se3
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend.features import FeatCloud
 from mloam_tpu.ops import select, voxel
-from mloam_tpu.solver import degeneracy, factors
+from mloam_tpu.solver import degeneracy, factors, robust
 from mloam_tpu.solver.gauss_newton import gauss_newton
 from mloam_tpu.solver.marginalization import QuadPrior, schur_marginalize_quad
 
@@ -229,6 +229,18 @@ class WindowSolveResult(NamedTuple):
     # every frame (double counting that grows without bound).
     H_anchor: jnp.ndarray
     g_anchor: jnp.ndarray
+    # [n_blocks, 6] full ascending per-block measurement eigenvalues (the
+    # reference's calib_eig.txt spectra) — threshold calibration needs the
+    # whole spectrum, not just the minimum: the projector freezes EVERY
+    # direction below eig_threshold, so the threshold must sit between the
+    # degenerate direction and the next (observable) eigenvalue
+    eig_blocks: jnp.ndarray | None = None
+    # the marginalization prior's (H, g) contribution at the final
+    # linearization point — needed to split measurement rows from prior
+    # rows for degeneracy-consistent marginalization (see
+    # marginalize_pivot)
+    H_prior: jnp.ndarray | None = None
+    g_prior: jnp.ndarray | None = None
 
 
 def optimize_window(state: WindowState, cfg: MloamConfig,
@@ -458,20 +470,23 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
                     ))
             return jnp.concatenate(rs)
 
-        def residual_fn(xx):
+        def residual_fn(xx, mu=1.0):
             ec, pc = edge_corrs, plane_corrs
             (cq, ct), (sq, st_) = point_poses(xx, nc_cur, ns_cur)
             re = factors.edge_residual(rot.quat_rotate(cq, ec.p) + ct, ec)
             we = factors.robust_weights(
-                jnp.sum(re * re, -1), ec.w, "huber", oc.huber_delta
+                jnp.sum(re * re, -1), ec.w, oc.loss_mode, oc.huber_delta,
+                gm_c=oc.gm_c, gnc_mu=mu,
             )
             rp = factors.plane_residual(rot.quat_rotate(sq, pc.p) + st_, pc)
-            wp = factors.robust_weights(rp * rp, pc.w, "huber", oc.huber_delta)
+            wp = factors.robust_weights(rp * rp, pc.w, oc.loss_mode,
+                                        oc.huber_delta, gm_c=oc.gm_c,
+                                        gnc_mu=mu)
             rs = [re.reshape(-1), rp, small_residual(xx)]
             ws = [jnp.repeat(we, 3), wp, jnp.ones((rs[-1].shape[0],))]
             return jnp.concatenate(rs), jnp.concatenate(ws)
 
-        def linearize_fn(xx):
+        def linearize_fn(xx, mu=1.0):
             """Closed-form normal equations: per-point analytic Jacobians
             w.r.t. each chain pose's right tangent (factors.{plane,edge}_
             point_jacobian), per-chain 6x6 Gram blocks on the MXU, then the
@@ -481,10 +496,13 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
             (cq, ct), (sq, st_) = point_poses(xx, nc_cur, ns_cur)
             re = factors.edge_residual(rot.quat_rotate(cq, ec.p) + ct, ec)
             we = factors.robust_weights(
-                jnp.sum(re * re, -1), ec.w, "huber", oc.huber_delta
+                jnp.sum(re * re, -1), ec.w, oc.loss_mode, oc.huber_delta,
+                gm_c=oc.gm_c, gnc_mu=mu,
             )
             rp = factors.plane_residual(rot.quat_rotate(sq, pc.p) + st_, pc)
-            wp = factors.robust_weights(rp * rp, pc.w, "huber", oc.huber_delta)
+            wp = factors.robust_weights(rp * rp, pc.w, oc.loss_mode,
+                                        oc.huber_delta, gm_c=oc.gm_c,
+                                        gnc_mu=mu)
             Je = factors.edge_point_jacobian(cq, ec).reshape(nq, nc_cur, 3, 6)
             Jp = factors.plane_point_jacobian(sq, pc).reshape(nq, ns_cur, 6)
             we_g = we.reshape(nq, nc_cur)
@@ -533,8 +551,13 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
             dim=dim,
             iters=oc.gn_iters,
             remap_threshold=oc.eig_threshold,
+            remap_max_freeze=oc.remap_max_freeze,
+            remap_shared=oc.remap_shared,
             quad_prior=(prior_delta, state.prior),
             linearize_fn=linearize_fn if analytic else None,
+            mu_schedule=(robust.gnc_mu_schedule(oc.gnc_mu_init,
+                                                oc.gn_iters + 1)
+                         if oc.loss_mode == "gnc_gm" else None),
         )
         x = st.x
         result = st
@@ -550,6 +573,11 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
         )(zero)
         H_anchor = Jsm.T @ Jsm
         g_anchor = Jsm.T @ rsm
+        # prior contribution at the same point (for the measurement/prior
+        # split in degeneracy-consistent marginalization)
+        val = state.prior.valid.astype(jnp.float32)
+        Hq = state.prior.H * val
+        g_prior = val * state.prior.b + Hq @ prior_delta(result.x)
 
     poses, ext = result.x
     solve = WindowSolveResult(
@@ -563,6 +591,9 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
         eig_min=result.eig0[:, 0],
         H_anchor=H_anchor,
         g_anchor=g_anchor,
+        eig_blocks=result.eig0,
+        H_prior=Hq,
+        g_prior=g_prior,
     )
     return state._replace(poses=poses, ext=ext), solve
 
@@ -578,9 +609,37 @@ def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
     # marginalize only the factor blocks + old prior: the per-solve gauge
     # anchor (and calib extrinsic prior) rows are re-added fresh every solve
     # and must not be re-baked into the prior (see WindowSolveResult.H_anchor)
-    small = schur_marginalize_quad(
-        solve.H - solve.H_anchor, solve.g - solve.g_anchor, n_drop=6
-    )
+    H_in = solve.H - solve.H_anchor
+    g_in = solve.g - solve.g_anchor
+    oc = cfg.odometry
+    if (oc.eig_threshold > 0 and oc.remap_project_prior
+            and solve.H_prior is not None and not calibrate_ext):
+        # Degeneracy-consistent marginalization: measurements the solution
+        # remap refused to APPLY must not enter the prior either — else
+        # the prior stores the rejected gradient along frozen directions,
+        # and every subsequent solve leaks that accumulated pull through
+        # the frozen eigvector's impurity into observable axes (measured
+        # on the corridor course: the stored pull turned a bounded 2.7 m
+        # drift into 7-19 m under every freezing variant). Project the
+        # MEASUREMENT part with the same per-block eigprojector the solve
+        # used; the inherited prior part passes through untouched. P is
+        # idempotent PSD, so P Hm P stays PSD. No counterpart in the
+        # reference (its marginalization replays raw residuals,
+        # marginalization_factor.cpp:105-144) — its eig analysis and
+        # marginalization never co-engage in its shipped configs.
+        Hm = H_in - solve.H_prior
+        gm = g_in - solve.g_prior
+        P, _ = degeneracy.block_projector(Hm, oc.eig_threshold,
+                                          oc.remap_max_freeze,
+                                          shared=oc.remap_shared)
+        n = P.shape[0]
+        H4 = Hm.reshape(n, 6, n, 6)
+        Hm = jnp.einsum("aij,ajbl,bkl->aibk", P, H4, P).reshape(n * 6,
+                                                               n * 6)
+        gm = jnp.einsum("aij,aj->ai", P, gm.reshape(n, 6)).reshape(-1)
+        H_in = Hm + solve.H_prior
+        g_in = gm + solve.g_prior
+    small = schur_marginalize_quad(H_in, g_in, n_drop=6)
     # retained layout after the slide: [poses 0..O-1 | ext...], new pose
     # block O is zero. Old retained layout: [poses 1..O | ext...].
     old_pose = jnp.arange(O * 6)

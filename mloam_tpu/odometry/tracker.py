@@ -29,7 +29,7 @@ from mloam_tpu.core import rotations as rot
 from mloam_tpu.core import se3
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend.features import FeatCloud, FeatureFrame
-from mloam_tpu.solver import factors
+from mloam_tpu.solver import factors, robust
 from mloam_tpu.solver.gauss_newton import gauss_newton
 
 
@@ -39,6 +39,11 @@ class TrackResult(NamedTuple):
     H: jnp.ndarray           # [6, 6] final GN Hessian (degeneracy/cov input)
     n_edge: jnp.ndarray
     n_plane: jnp.ndarray
+    # [6] ascending eigenvalues of the initial measurement Hessian when
+    # cfg.eig_threshold > 0 (the solve's own degeneracy probe — the
+    # reference's LidarTracker::evalDegenracy eigen-analysis,
+    # lidar_tracker.cpp:131-163); zeros when remapping is disabled
+    eig: jnp.ndarray | None = None
 
 
 def _project_to_prev(T: Pose, p: jnp.ndarray, s: jnp.ndarray,
@@ -70,22 +75,28 @@ def track(
     """
     T = T_init
 
+    gnc = cfg.loss_mode == "gnc_gm"
+
     def residual_fn_builder(edge_corr, plane_corr):
-        def residual_fn(Tx: Pose):
+        def residual_fn(Tx: Pose, mu=1.0):
             pe = _project_to_prev(Tx, edge_corr.p, edge_corr.s, cfg.deskew)
             re = factors.edge_residual(pe, edge_corr)          # [Ne, 3]
             pp = _project_to_prev(Tx, plane_corr.p, plane_corr.s, cfg.deskew)
             rp = factors.plane_residual(pp, plane_corr)        # [Np]
             we = factors.robust_weights(
-                jnp.sum(re * re, -1), edge_corr.w, "huber", cfg.huber_delta
+                jnp.sum(re * re, -1), edge_corr.w, cfg.loss_mode,
+                cfg.huber_delta, gm_c=cfg.gm_c, gnc_mu=mu,
             )
             wp = factors.robust_weights(
-                rp * rp, plane_corr.w, "huber", cfg.huber_delta
+                rp * rp, plane_corr.w, cfg.loss_mode,
+                cfg.huber_delta, gm_c=cfg.gm_c, gnc_mu=mu,
             )
             r = jnp.concatenate([re.reshape(-1), rp])
             w = jnp.concatenate([jnp.repeat(we, 3), wp])
             return r, w
 
+        if not gnc:
+            return lambda Tx: residual_fn(Tx)
         return residual_fn
 
     def retract(Tx: Pose, dx: jnp.ndarray) -> Pose:
@@ -109,6 +120,17 @@ def track(
             retract,
             dim=6,
             iters=cfg.gn_iters,
+            # solution remapping in the scan-to-scan solve (the reference's
+            # tracker evalDegenracy, lidar_tracker.cpp:131-163 — written
+            # there, shipped disabled): freeze update directions whose
+            # measurement eigenvalue sits below the floor so spurious
+            # information (e.g. a co-moving object in a degenerate
+            # corridor) cannot corrupt the constant-velocity prediction
+            remap_threshold=(cfg.eig_threshold
+                             if cfg.eig_threshold > 0 else None),
+            mu_schedule=(robust.gnc_mu_schedule(cfg.gnc_mu_init,
+                                                cfg.gn_iters + 1)
+                         if gnc else None),
         )
         T = st.x
         result = TrackResult(
@@ -117,6 +139,7 @@ def track(
             H=st.H,
             n_edge=jnp.sum(edge_corr.w > 0),
             n_plane=jnp.sum(plane_corr.w > 0),
+            eig=st.eig0[0],
         )
 
     if cfg.deskew:

@@ -230,11 +230,65 @@ def efficiency_from_measurement(meas: dict) -> dict:
     }
 
 
+def efficiency_from_measured_ms(meas: dict, shard_ms: float,
+                                sep_solve_ms: float,
+                                iters: int = 10) -> dict:
+    """Efficiency rows with the compute term taken from CHIP MEASUREMENT
+    instead of FLOPs/2e12.
+
+    Round-3's model understated per-shard time 3.4x (TPU 6x6 block
+    scatter-adds serialize at ~15x their raw FLOPs): 3.6 ms measured vs
+    1.06 ms modeled at the deployment shape. ``shard_ms`` is the measured
+    per-shard GN-iteration work (demos/profile_dd_shard.py, chained on the
+    real chip) and ``sep_solve_ms`` the replicated post-reduction separator
+    solve; communication keeps the HLO-parsed bytes and the same fabric
+    constants.
+
+    Two honest definitions are reported:
+      * per-GN-iteration, overlap-free: (t_shard + t_sep) /
+        (t_shard + t_sep + t_comm);
+      * full-solve: ``iters`` GN iterations plus the one-time shard input
+        distribution (HBM-resident shard bytes moved over the slower
+        fabric once), amortizing setup the way a deployment would.
+    """
+    ici = meas["collectives_per_gn"]["ici"]
+    dcn = meas["collectives_per_gn"]["dcn"]
+    t_ici = ici["bytes"] / ICI_BW + ici["count"] * ICI_LAT
+    t_dcn = dcn["bytes"] / DCN_BW + dcn["count"] * DCN_LAT
+    t_comm = t_ici + t_dcn
+    t_comp = (shard_ms + sep_solve_ms) * 1e-3
+    per_iter = t_comp / (t_comp + t_comm)
+    # one-time input distribution: per-device shard inputs over the
+    # slower fabric present in the mesh
+    n_hosts = meas["mesh"]["shape"][0] if len(meas["mesh"]["shape"]) == 2 \
+        else 1
+    setup_bw = DCN_BW if n_hosts > 1 else ICI_BW
+    setup_bytes = meas.get("hbm_bytes_per_device_per_gn", 0.0)
+    t_setup = setup_bytes / setup_bw
+    full = (iters * t_comp) / (iters * (t_comp + t_comm) + t_setup)
+    return {
+        "measured_shard_ms_per_gn": shard_ms,
+        "measured_sep_solve_ms_per_gn": sep_solve_ms,
+        "t_comm_ici_ms_per_gn": t_ici * 1e3,
+        "t_comm_dcn_ms_per_gn": t_dcn * 1e3,
+        "efficiency_per_iter_measured": per_iter,
+        "efficiency_full_solve_measured": full,
+        "full_solve_iters": iters,
+        "setup_bytes_assumed": setup_bytes,
+    }
+
+
 def dd_scaling_report(ba_points: int = 1024, ba_map: int = 4096,
                       n_poses_chip: int = 1024,
-                      n_poses_host: int = 2048) -> dict:
+                      n_poses_host: int = 2048,
+                      chip_ms: dict | None = None) -> dict:
     """The headline report: measured-cost efficiency predictions for the
     two BASELINE fabrics. Requires >=16 (virtual) devices.
+
+    ``chip_ms``: results/scaling/shard_chip_ms.json content (the per-shard
+    GN-iteration ms measured on the real chip by demos/profile_dd_shard.py)
+    — when given, every row also carries the measured-ms efficiency pair
+    (per-iteration and full-solve) next to the FLOPs-modeled one.
 
       * ici_8chip: 1024-pose keyframe BA sharded over one host's 8 chips;
       * dcn_2host: 2048 poses over 2 hosts x 8 chips (weak scaling — the
@@ -268,4 +322,10 @@ def dd_scaling_report(ba_points: int = 1024, ba_map: int = 4096,
         meas = measure_dd_costs(n, mesh, ba_points=ba[0], ba_map=ba[1],
                                 assoc_chunk=8 if ba[0] else None)
         out[name] = {**meas, **efficiency_from_measurement(meas)}
+        if chip_ms is not None:
+            kind = "ba" if ba[0] else "pgo"
+            if kind in chip_ms:
+                out[name].update(efficiency_from_measured_ms(
+                    meas, chip_ms[kind]["shard_ms_per_gn"],
+                    chip_ms[kind]["sep_solve_ms_per_gn"]))
     return out

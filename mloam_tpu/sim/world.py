@@ -88,13 +88,31 @@ def make_world(
 
 def make_corridor_world(length: float = 120.0, width: float = 4.0,
                         wall_height: float = 4.0,
-                        featured_entry: bool = True) -> World:
+                        featured_entry: bool = True,
+                        ceiling: bool = True,
+                        rails: bool = True) -> World:
     """Featureless straight corridor along +x: two parallel side walls +
-    ground + far end caps. Translation along x is geometrically
-    unobservable in the corridor interior (every surface normal is ⊥ x) —
-    the degenerate scenario the reference's solution remapping exists for
-    (Zhang's degeneracy analysis; estimator.cpp:1598-1680,
-    lidar_tracker.cpp:131-163).
+    ground (+ ceiling) + far end caps. Translation along x is
+    geometrically unobservable in the corridor interior (every surface
+    normal is ⊥ x) — the degenerate scenario the reference's solution
+    remapping exists for (Zhang's degeneracy analysis;
+    estimator.cpp:1598-1680, lidar_tracker.cpp:131-163).
+
+    ``ceiling``: close the top (an indoor corridor / tunnel). This keeps
+    every direction EXCEPT x strongly observed — measured spectra in the
+    open-top variant have the second eigenvalue (pitch-ish) dipping into
+    the same 70-160 band as the degenerate x direction, so no absolute
+    threshold can freeze x without also freezing an observable direction;
+    with the ceiling the gap between e0 (x, spurious floor) and e1 is
+    wide and the reference's freeze-all-below-threshold rule is safe.
+
+    ``rails``: four thin strips running the corridor's length (floor
+    curbs + ceiling rails, all surfaces ⊥ z or creating x-parallel edge
+    lines). They add strong y/z/pitch/roll information while contributing
+    exactly ZERO along x — purifying the degenerate eigendirection so the
+    remap's frozen vector is pure x instead of an x/z mix (measured: the
+    bare tunnel's lowest eigvector carried 0.24-0.33 of z, so freezing it
+    blocked a tenth of every z correction).
 
     ``featured_entry``: poles scattered over x ∈ [-12, 0] give the entry
     segment full observability (the estimator learns the vehicle speed
@@ -109,6 +127,13 @@ def make_corridor_world(length: float = 120.0, width: float = 4.0,
         [-5.0, 0.0, wall_height / 2],          # entry back wall (⊥ x):
         # the only plane with x-normal — full observability near the
         # start; once it leaves sensor range the corridor is degenerate
+        [0.0, 0.0, wall_height],               # ceiling (masked if open)
+        # longitudinal rails (masked if rails=False): floor curbs +
+        # ceiling rails, horizontal strips ⊥ z running the full length
+        [0.0, -width / 2 + 0.6, 0.30],
+        [0.0, width / 2 - 0.6, 0.30],
+        [0.0, -width / 2 + 0.6, wall_height - 0.30],
+        [0.0, width / 2 - 0.6, wall_height - 0.30],
     ])
     rect_u = jnp.array([
         [half, 0.0, 0.0],
@@ -116,6 +141,11 @@ def make_corridor_world(length: float = 120.0, width: float = 4.0,
         [half, 0.0, 0.0],
         [0.0, width, 0.0],
         [0.0, width, 0.0],
+        [half, 0.0, 0.0],
+        [half, 0.0, 0.0],
+        [half, 0.0, 0.0],
+        [half, 0.0, 0.0],
+        [half, 0.0, 0.0],
     ])
     rect_v = jnp.array([
         [0.0, width, 0.0],
@@ -123,6 +153,11 @@ def make_corridor_world(length: float = 120.0, width: float = 4.0,
         [0.0, 0.0, wall_height / 2],
         [0.0, 0.0, wall_height / 2],
         [0.0, 0.0, wall_height / 2],
+        [0.0, width, 0.0],
+        [0.0, 0.12, 0.0],
+        [0.0, 0.12, 0.0],
+        [0.0, 0.12, 0.0],
+        [0.0, 0.12, 0.0],
     ])
     n_poles = 8
     if featured_entry:
@@ -138,7 +173,8 @@ def make_corridor_world(length: float = 120.0, width: float = 4.0,
         cyl_mask = jnp.zeros(1, bool)
     return World(
         rect_center=rect_c, rect_u=rect_u, rect_v=rect_v,
-        rect_mask=jnp.ones(5, bool),
+        rect_mask=jnp.array([True] * 5 + [bool(ceiling)]
+                            + [bool(rails)] * 4),
         cyl_xyr=cyl_xyr, cyl_z=cyl_z, cyl_mask=cyl_mask,
     )
 
@@ -310,23 +346,91 @@ def render_sequence(
     t0: float = 0.0,
     noise_std: float = 0.0,
     noise_seed: int = 1234,
+    companions: jnp.ndarray | None = None,
+    companion_z: jnp.ndarray | None = None,
+    companion_frames: tuple[int, int] | None = None,
+    companion_period: tuple[int, int] | None = None,
+    movers: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Render n_frames sweeps for one lidar mounted at ``extrinsic``
     (base <- lidar). Returns (RangeImage stacked [F, ...], gt base poses
-    Pose[F] at sweep starts)."""
+    Pose[F] at sweep starts).
+
+    ``companions`` [K, 3] (x, y, radius, in the BASE frame) adds dynamic
+    cylinder objects that move rigidly with the vehicle — the classic
+    degenerate-scene hazard (a pedestrian/vehicle keeping pace): their
+    returns are static in the sensor frame, so scan matching reads them as
+    "no motion". ``companion_z`` [K, 2] gives each column's z range
+    (default full wall height 0..2), ``companion_frames`` (start, stop)
+    bounds their presence. Counterpart of the reference's measurement
+    fault injection (rosNodeSR.cpp:53, noisy-bag generator) extended to
+    dynamic objects, which the reference's simulator never constructs.
+
+    ``movers`` = (xyr [K, 3], z [K, 2], vel [K, 2]): independently moving
+    cylinder objects (cross-traffic) — world-frame centers translate at
+    ``vel`` m/s from their initial positions. Their inter-scan residuals
+    are exactly the dynamic-object outliers the reference ships GM/GNC
+    losses for (impl_loss_function.hpp:94-125, launch args
+    loss_mode/gnc, mloam_simu_jackal.launch:16-18)."""
     if extrinsic is None:
         extrinsic = Pose.identity()
     dt = model.scan_period
     nkey = jax.random.PRNGKey(noise_seed)
+    if companions is not None and companion_z is None:
+        companion_z = jnp.broadcast_to(jnp.array([0.0, 2.0]),
+                                       (companions.shape[0], 2))
 
     def one(i):
         ts = t0 + i * dt
         base0 = traj.pose(ts)
         base1 = traj.pose(ts + dt)
+        w = world
+        if movers is not None:
+            m_xyr, m_z, m_vel = movers
+            pos = m_xyr[:, :2] + m_vel * (ts - t0)
+            w = w._replace(
+                cyl_xyr=jnp.concatenate(
+                    [w.cyl_xyr,
+                     jnp.concatenate([pos, m_xyr[:, 2:3]], -1)]),
+                cyl_z=jnp.concatenate([w.cyl_z, m_z]),
+                cyl_mask=jnp.concatenate(
+                    [w.cyl_mask, jnp.ones(m_xyr.shape[0], bool)]),
+            )
+        if companions is not None:
+            # companion centers ride the base pose (xy only — cylinders
+            # stay vertical; yaw rotates the offset)
+            off = jnp.concatenate(
+                [companions[:, :2],
+                 jnp.zeros((companions.shape[0], 1))], -1)
+            ctr = rot.quat_rotate(base0.q[None], off) + base0.t[None]
+            present = jnp.asarray(True)
+            if companion_frames is not None:
+                present = ((i >= companion_frames[0])
+                           & (i < companion_frames[1]))
+            if companion_period is not None:
+                # transient bursts: present for the first ``on`` frames of
+                # every ``period``-frame cycle (measured from the window
+                # start) — repeated outlier clusters rather than a
+                # persistent co-moving object
+                on, period = companion_period
+                start = (companion_frames[0]
+                         if companion_frames is not None else 0)
+                phase = jnp.mod(i - start, float(period))
+                present = present & (phase < on)
+            w = w._replace(
+                cyl_xyr=jnp.concatenate(
+                    [w.cyl_xyr,
+                     jnp.concatenate([ctr[:, :2], companions[:, 2:3]], -1)]),
+                cyl_z=jnp.concatenate(
+                    [w.cyl_z, companion_z + base0.t[2]]),
+                cyl_mask=jnp.concatenate(
+                    [w.cyl_mask,
+                     jnp.broadcast_to(present, (companions.shape[0],))]),
+            )
         p0 = se3.compose(base0, extrinsic)
         p1 = se3.compose(base1, extrinsic)
         img = render_scan(
-            world, p0, p1, model, noise_std,
+            w, p0, p1, model, noise_std,
             jax.random.fold_in(nkey, i.astype(jnp.int32)) if noise_std > 0 else None,
         )
         return img, base0

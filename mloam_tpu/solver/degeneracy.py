@@ -45,7 +45,9 @@ def remap_update(H: jnp.ndarray, dx: jnp.ndarray, threshold: float) -> jnp.ndarr
     return apply_block_projector(P, dx)
 
 
-def block_projector(H: jnp.ndarray, threshold: float
+def block_projector(H: jnp.ndarray, threshold: float,
+                    max_freeze: int | None = None,
+                    shared: bool = False
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-6-dof-block solution-remapping projectors from H's diagonal
     blocks: P_i = V diag(λ >= thr) Vᵀ.
@@ -55,14 +57,51 @@ def block_projector(H: jnp.ndarray, threshold: float
     estimator.cpp:1598-1680) — eigh of many tiny blocks inside the GN loop
     is a TPU latency hotspot.
 
-    Returns (P [n, 6, 6], eigvals [n, 6] ascending).
+    ``max_freeze``: freeze at most this many (ascending) directions per
+    block. The reference freezes EVERY direction below eig_thre_, which
+    presumes a wide eigengap between the degenerate subspace and the rest;
+    measured corridor spectra here put the second eigenvalue's noise floor
+    inside the first's band, so freezing all-below can capture an
+    observable direction — whose error then accumulates unchecked
+    (measured: e1 frozen alongside e0 turned a 4 m drift into 19 m).
+    max_freeze=1 freezes only the provably-degenerate leading direction.
+    None = the reference's freeze-all-below rule.
+
+    ``shared``: build ONE projector from the mean of the non-anchored
+    blocks (blocks 1..n-1; block 0 carries the gauge anchor) and apply it
+    identically to every block. Per-block projectors freeze slightly
+    DIFFERENT directions in each block (eigvectors jitter with each
+    block's noise), which corrupts the RELATIVE motion between window
+    poses — measured on the corridor course, per-block freezing turned a
+    bounded 2.7 m rigid-bias drift into 7-19 m of velocity corruption
+    under every threshold/cap variant, while the shared projector keeps
+    frozen directions consistent across the window so unfrozen-space
+    pulls stay rigid and the frozen direction coasts exactly on the
+    constant-velocity prediction.
+
+    Returns (P [n, 6, 6], eigvals [n, 6] ascending — per-block spectra
+    either way, for diagnostics/threshold calibration).
     """
     d = H.shape[0]
     assert d % 6 == 0
     n = d // 6
     blocks = jnp.stack([H[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6] for i in range(n)])
     vals, vecs = jnp.linalg.eigh(blocks)          # [n, 6], [n, 6, 6]
-    keep = (vals >= threshold).astype(H.dtype)    # [n, 6]
+    rank = jnp.arange(6)[None, :]                 # ascending eig order
+    if shared and n > 1:
+        Hmean = jnp.mean(blocks[1:], axis=0)
+        vals_s, vecs_s = jnp.linalg.eigh(Hmean)   # [6], [6, 6]
+        keep = vals_s[None, :] >= threshold       # [1, 6]
+        if max_freeze is not None:
+            keep = keep | (rank >= max_freeze)
+        keep = keep.astype(H.dtype)
+        P_one = jnp.einsum("ik,k,jk->ij", vecs_s, keep[0], vecs_s)
+        P = jnp.broadcast_to(P_one, (n, 6, 6))
+        return P, vals
+    keep = vals >= threshold                      # [n, 6] bool
+    if max_freeze is not None:
+        keep = keep | (rank >= max_freeze)
+    keep = keep.astype(H.dtype)
     P = jnp.einsum("nik,nk,njk->nij", vecs, keep, vecs)
     return P, vals
 

@@ -120,10 +120,13 @@ def edge_point_jacobian(q: jnp.ndarray, corr: EdgeCorr) -> jnp.ndarray:
 
 
 def robust_weights(r2: jnp.ndarray, base_w: jnp.ndarray, kind: str,
-                   delta: float) -> jnp.ndarray:
+                   delta: float, gm_c: float = 1.0,
+                   gnc_mu=1.0) -> jnp.ndarray:
     """IRLS weight per correspondence; stop-gradient so GN linearization
-    treats it as constant."""
-    w = robust.loss_weight(jax.lax.stop_gradient(r2), kind, delta)
+    treats it as constant. ``gnc_mu`` may be a traced scalar (annealed
+    across GN iterations by the solver's mu_schedule)."""
+    w = robust.loss_weight(jax.lax.stop_gradient(r2), kind, delta,
+                           gm_c=gm_c, gnc_mu=gnc_mu)
     return base_w * w
 
 

@@ -65,7 +65,8 @@ class GNState(NamedTuple):
 
 def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int,
                quad_prior: QuadPriorSpec | None = None,
-               linearize_fn: LinearizeFn | None = None):
+               linearize_fn: LinearizeFn | None = None,
+               mu: jnp.ndarray | None = None):
     """Build (H, g, cost) at x. One jacfwd over the flat tangent, or the
     caller's closed-form ``linearize_fn`` when given.
 
@@ -84,14 +85,17 @@ def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int,
     the raw residual, which is exactly the IRLS linearization.
     """
     if linearize_fn is not None:
-        H, g, cost = linearize_fn(x)
+        H, g, cost = (linearize_fn(x) if mu is None
+                      else linearize_fn(x, mu))
     else:
+        rf = residual_fn if mu is None else (lambda xx: residual_fn(xx, mu))
+
         def res_at(dx):
-            r, _ = residual_fn(retract(x, dx))
+            r, _ = rf(retract(x, dx))
             return r
 
         zero = jnp.zeros((dim,), jnp.float32)
-        r, w = residual_fn(x)
+        r, w = rf(x)
         J = jax.jacfwd(res_at)(zero)            # [N, D]
         Jw = J * w[:, None]
         H = J.T @ Jw                             # [D, D]
@@ -137,9 +141,12 @@ def gauss_newton(
     init_lambda: float = 1e-4,
     remap_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     remap_threshold: float | None = None,
+    remap_max_freeze: int | None = 1,
+    remap_shared: bool = False,
     quad_prior: QuadPriorSpec | None = None,
     linearize_fn: LinearizeFn | None = None,
     iteration_hook: Callable[[jnp.ndarray, GNState], GNState] | None = None,
+    mu_schedule: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> GNState:
     """Run ``iters`` damped GN steps.
 
@@ -151,18 +158,29 @@ def gauss_newton(
     ``remap_threshold``: build the per-6-dof-block degeneracy projector once
     from the initial Hessian and apply it to every update (the reference's
     solution-remapping parameterization); block eigenvalues are returned in
-    ``GNState.eig0``. ``remap_fn(H, dx) -> dx`` is the fully general
-    per-iteration form (recomputes from the current H each step).
+    ``GNState.eig0``. ``remap_max_freeze`` caps the number of frozen
+    directions per block (see degeneracy.block_projector — the default 1
+    freezes only the provably-degenerate leading direction; None is the
+    reference's freeze-all-below rule). ``remap_fn(H, dx) -> dx`` is the
+    fully general per-iteration form (recomputes from the current H each
+    step).
 
     ``iteration_hook(i, state) -> state`` is the counterpart of the
     reference's Ceres ``IterationCallback`` (StateUpdatingCovarianceCallback,
     impl_callback.hpp:19-24): a pure function applied after every accepted
     step — use it to update covariance-coupled quantities mid-solve or to
-    emit monitoring via ``jax.debug.callback``."""
+    emit monitoring via ``jax.debug.callback``.
+
+    ``mu_schedule(i) -> μ`` enables graduated non-convexity (the
+    reference's SurrogateGemanMcClureLoss annealing,
+    impl_loss_function.hpp:112-125 + test_icp.cpp:126): residual_fn /
+    linearize_fn are then called as ``fn(x, μ_i)`` with the scheduled
+    convexity at each (re-)linearization — see robust.gnc_mu_schedule."""
 
     with jax.default_matmul_precision("highest"):
+        mu0 = mu_schedule(0) if mu_schedule is not None else None
         H0, g0, c0, Hm0 = _linearize(residual_fn, retract, x0, dim,
-                                     quad_prior, linearize_fn)
+                                     quad_prior, linearize_fn, mu0)
         if remap_threshold is not None:
             # projector from the MEASUREMENT-ONLY Hessian: the reference's
             # evalDegenracy runs on res_ids_proj (point factors + extrinsic
@@ -170,7 +188,9 @@ def gauss_newton(
             # 1578-1594) — the prior's accumulated memory would otherwise
             # mask directions the CURRENT sweep cannot observe (a corridor
             # looks fully constrained forever once the prior matures)
-            P0, eig0 = degeneracy.block_projector(Hm0, remap_threshold)
+            P0, eig0 = degeneracy.block_projector(Hm0, remap_threshold,
+                                                  remap_max_freeze,
+                                                  shared=remap_shared)
         else:
             P0 = None
             eig0 = jnp.zeros((dim // 6 if dim % 6 == 0 else 0, 6), H0.dtype)
@@ -184,8 +204,9 @@ def gauss_newton(
             if remap_fn is not None:
                 dx = remap_fn(st.H, dx)
             x_new = retract(st.x, dx)
+            mu_i = mu_schedule(i + 1) if mu_schedule is not None else None
             H, g, cost, _ = _linearize(residual_fn, retract, x_new, dim,
-                                       quad_prior, linearize_fn)
+                                       quad_prior, linearize_fn, mu_i)
             accept = cost <= st.cost
             lam = jnp.where(accept, st.lm_lambda * 0.5, st.lm_lambda * 4.0)
             lam = jnp.clip(lam, 1e-5, 1e2)

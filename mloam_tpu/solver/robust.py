@@ -43,6 +43,28 @@ def surrogate_gm_weight(s: jnp.ndarray, c: float, mu: float) -> jnp.ndarray:
     return t * t
 
 
+def gnc_mu_schedule(mu_init: float, iters: int):
+    """Graduated non-convexity schedule compressed to a fixed GN budget.
+
+    The reference anneals μ /= 1.4 per outer ICP iteration from 20 over
+    ~30 iterations (``mloam_loop/test/test_icp.cpp:64,126``); our solves
+    run a handful of fixed GN iterations, so the schedule is geometric
+    from ``mu_init`` down to exactly 1 (the GM limit) on the final
+    iteration: μ_i = mu_init^(1 − i/(iters−1)).
+
+    Returns ``sched(i) -> μ`` accepting a traced iteration index.
+    """
+
+    def sched(i):
+        if iters <= 1:
+            return jnp.asarray(1.0, jnp.float32)
+        e = 1.0 - jnp.minimum(jnp.asarray(i, jnp.float32), iters - 1) / (
+            iters - 1)
+        return jnp.maximum(1.0, jnp.power(jnp.float32(mu_init), e))
+
+    return sched
+
+
 def loss_weight(s: jnp.ndarray, kind: str, delta: float = 0.1,
                 gm_c: float = 1.0, gnc_mu: float = 1.0) -> jnp.ndarray:
     if kind == "trivial":

@@ -79,12 +79,16 @@ def save_pipeline(path: str, pipe) -> None:
         tree = (pipe.full.odom.window, pipe.full.mapper_state,
                 pipe.loop_state, tuple(pipe.full.odom.calib_buffers),
                 tuple(pipe.full.odom.motions), pipe.full.odom.world_pose)
+        # snapshotting mid-pipeline: drain the one-sweep-delayed keyframe/
+        # verify stages first so no in-flight device work is lost
+        pipe.flush()
         meta = {
             "kind": "slam",
             "frame_idx": pipe.full.odom.frame_idx,
             "ext_mode": pipe.full.odom.ext_mode,
             "kf_counter": pipe.kf_counter,
             "n_loops": pipe.n_loops,
+            "loop_kf_count": pipe.loop_kf_count,
         }
     elif isinstance(pipe, FullPipeline):
         tree = (pipe.odom.window, pipe.mapper_state,
@@ -119,6 +123,10 @@ def load_pipeline(path: str, pipe) -> None:
         pipe.full.odom.ext_mode = meta["ext_mode"]
         pipe.kf_counter = meta["kf_counter"]
         pipe.n_loops = meta["n_loops"]
+        # old snapshots predate the host count mirror: recover it from the
+        # restored device state
+        pipe.loop_kf_count = meta.get(
+            "loop_kf_count", int(jax.device_get(pipe.loop_state.count)))
     elif isinstance(pipe, FullPipeline):
         template = (pipe.odom.window, pipe.mapper_state,
                     tuple(pipe.odom.calib_buffers), tuple(pipe.odom.motions),

@@ -1,29 +1,37 @@
-"""Degenerate-geometry end-to-end: the corridor course.
+"""Degenerate-geometry end-to-end: the tunnel course with outlier bursts.
 
 The reference's core failure-detection story is eigenvalue analysis of the
 per-pose measurement Hessian with solution remapping
-(estimator.cpp:1578-1680 — note evalResidual evaluates res_ids_proj ONLY,
-i.e. the point factors + extrinsic priors, never the marginalization
-prior; our projector matches that since round 3).
+(estimator.cpp:1578-1680; the projector here uses res_ids_proj semantics —
+point factors + anchors, never the marginalization prior).
 
-In a featureless corridor (walls ⊥ y, ground ⊥ z, nothing ⊥ x):
-  * the well-conditioned directions (y, z, yaw) must stay tight — no
-    cross-contamination from the degenerate one;
-  * detection must fire: the per-pose measurement-only eigenvalues in the
-    corridor drop to the spurious-information floor (~300 here — voxel
-    structure noise at the wall-ground crease), an order of magnitude
-    below their feature-rich values (~2000+);
-  * along-corridor translation is unobservable — it coasts on the
-    constant-velocity prediction and accumulates error at a measured
-    envelope (~14% of distance on this noisy course; the classic
-    "LOAM drifts in corridors" mode the mechanism exists to contain, not
-    eliminate). Solution remapping must not make it worse, and protects
-    against update jumps along the frozen directions.
+Scenario (mirrors the results/corridor artifact): a closed tunnel along +x
+(every surface normal ⊥ x — x geometrically unobservable) traversed at
+constant velocity, with a pillar-sized object that is static in the SENSOR
+frame for 3 of every 10 frames (transient outlier bursts: coherent "no
+motion along x" correspondences with only a small eigenvalue bump). Run on
+the tracker-skipping steady path so the constant-velocity prediction is
+the protected quantity.
+
+Gates (replacing the round-3 "not worse than a no-op" assertions):
+  * the projector ENGAGES: frozen-direction count > 0 on essentially every
+    in-tunnel frame of the remap-on run — and stays SILENT on a
+    feature-rich course;
+  * it PROTECTS: along-x error with remap on is several times smaller
+    than with remap off (measured: 0.35 m vs 2.47 m over 90 frames — the
+    bursts walk the unfrozen solver backward, the frozen direction coasts
+    on the prediction);
+  * the cost is bounded: the frozen shared eigvector carries a measured
+    ~0.3 z-impurity, so z degrades moderately (bounded, not runaway — the
+    runaway variants are what the shared projector + per-direction cap +
+    degeneracy-consistent marginalization exist to prevent; see
+    config.OdometryConfig remap_* docstrings for the measured failures).
 """
 
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -32,75 +40,111 @@ from mloam_tpu.core.rangeimage import RangeImage
 from mloam_tpu.core.se3 import Pose
 from mloam_tpu.models import platforms
 from mloam_tpu.models.pipeline import OdometryPipeline
-from mloam_tpu.odometry import estimator as E
 from mloam_tpu.sim import world as W
 
 N = 90
+COMP_START = 15
 
 
-def _base_cfg():
+def _tunnel_cfg():
     cfg = platforms.synthetic(n_lidars=1)
     model = cfg.rig.models[0]._replace(max_range=20.0)
     return dataclasses.replace(
-        cfg, rig=dataclasses.replace(cfg.rig, models=(model,)))
+        cfg,
+        rig=dataclasses.replace(cfg.rig, models=(model,)),
+        tracker=dataclasses.replace(cfg.tracker, skip_steady=True),
+    )
 
 
 @pytest.fixture(scope="module")
 def corridor_runs():
-    base = _base_cfg()
+    base = _tunnel_cfg()
     model = base.rig.models[0]
-    w = W.make_corridor_world()
+    w = W.make_corridor_world(wall_height=3.0, ceiling=True)
+    mount = Pose(jnp.array([1.0, 0.0, 0.0, 0.0]),
+                 jnp.array([0.0, 0.0, 1.2]))
     traj = W.make_straight_trajectory(speed=2.0, wobble=0.02)
-    imgs, gt = W.render_sequence(w, traj, model, N, noise_std=0.02,
-                                 noise_seed=77)
-    g0 = Pose(gt.q[0], gt.t[0])
+    imgs, gt = W.render_sequence(
+        w, traj, model, N, noise_std=0.01, noise_seed=1000, extrinsic=mount,
+        companions=jnp.array([[5.0, 0.8, 0.12]]),
+        companion_frames=(COMP_START, N), companion_period=(3, 10),
+    )
+    g0 = se3.compose(Pose(gt.q[0], gt.t[0]), mount)
     gt_rel = np.stack([
-        np.asarray(se3.compose(se3.inverse(g0), Pose(gt.q[i], gt.t[i])).t)
+        np.asarray(se3.compose(
+            se3.inverse(g0),
+            se3.compose(Pose(gt.q[i], gt.t[i]), mount)).t)
         for i in range(N)
     ])
+    thr = base.odometry.eig_threshold
     out = {}
-    for label, thr in (("on", base.odometry.eig_threshold), ("off", 0.0)):
+    for label, t in (("on", thr), ("off", 0.0)):
         cfg = dataclasses.replace(base, odometry=dataclasses.replace(
-            base.odometry, eig_threshold=thr))
+            base.odometry, eig_threshold=t))
         pipe = OdometryPipeline(cfg)
-        est = []
+        est, frozen = [], []
         for i in range(N):
             img = RangeImage(*[jax.tree.map(lambda x: x[i], f)
                                for f in imgs])
-            est.append(np.asarray(pipe.process([img]).pose.t))
+            o = pipe.process([img])
+            est.append(np.asarray(o.pose.t))
+            if o.win_eig is not None:
+                frozen.append(int(np.sum(np.asarray(o.win_eig) < thr)))
+            else:
+                frozen.append(0)
         err = np.stack(est) - gt_rel
-        eig = None
-        if thr > 0:
-            _, solve = E.optimize_window(pipe.window, cfg)
-            eig = np.asarray(solve.eig_min)
-        out[label] = (err, eig)
+        out[label] = (err, frozen)
     return out
 
 
 class TestCorridorDegeneracy:
-    def test_detection_fires(self, corridor_runs):
-        """Measurement-only per-pose eigenvalues collapse to the
-        spurious-info floor inside the corridor — an order of magnitude
-        below feature-rich geometry (wander-course blocks sit at 2000+)."""
-        _, eig = corridor_runs["on"]
-        assert eig is not None
-        assert float(np.min(eig)) < 500.0, f"no degeneracy signal: {eig}"
+    def test_projector_engages(self, corridor_runs):
+        """Sub-threshold directions exist on essentially every in-tunnel
+        frame — the intervention actually fires (round-3 gap: the
+        projector had never engaged in any end-to-end run)."""
+        _, frozen = corridor_runs["on"]
+        in_tunnel = frozen[COMP_START:]
+        engaged = sum(1 for f in in_tunnel if f > 0)
+        assert engaged >= 0.9 * len(in_tunnel), \
+            f"engaged {engaged}/{len(in_tunnel)}"
 
-    def test_conditioned_directions_protected(self, corridor_runs):
-        """y/z stay tight over ~18 m of degenerate corridor — the
-        degenerate direction must not contaminate the observable ones."""
-        for label in ("on", "off"):
-            err, _ = corridor_runs[label]
-            assert np.abs(err[:, 1]).max() < 0.10, label   # lateral
-            assert np.abs(err[:, 2]).max() < 1.00, label   # vertical
-
-    def test_degenerate_direction_envelope(self, corridor_runs):
-        """Along-corridor error follows the CV prediction: bounded by the
-        measured envelope (~5.9 m over this course), and remapping never
-        makes it worse than the unremapped solver."""
+    def test_protects_degenerate_direction(self, corridor_runs):
+        """Remap ON holds the unobservable axis on the constant-velocity
+        prediction; OFF gets walked backward by the outlier bursts."""
         err_on, _ = corridor_runs["on"]
         err_off, _ = corridor_runs["off"]
-        assert np.abs(err_on[:, 0]).max() < 7.0
+        ex_on = np.abs(err_on[:, 0]).max()
+        ex_off = np.abs(err_off[:, 0]).max()
+        assert ex_on < 0.8, ex_on                 # absolute envelope
+        assert ex_on < 0.5 * ex_off, (ex_on, ex_off)  # and beats OFF
+
+    def test_observable_directions_bounded(self, corridor_runs):
+        """y/z stay bounded in both runs (the ON run pays a moderate,
+        non-runaway z cost from the frozen vector's measured impurity)."""
+        err_on, _ = corridor_runs["on"]
+        err_off, _ = corridor_runs["off"]
+        assert np.abs(err_on[:, 1]).max() < 0.8
+        assert np.abs(err_on[:, 2]).max() < 2.5
+        assert np.abs(err_off[:, 1]).max() < 0.3
+        assert np.abs(err_off[:, 2]).max() < 1.0
         assert np.isfinite(err_on).all() and np.isfinite(err_off).all()
-        assert (np.abs(err_on[-1, 0])
-                <= np.abs(err_off[-1, 0]) + 0.10)
+
+    def test_silent_on_feature_rich_course(self):
+        """The calibrated threshold must never fire on an observed scene:
+        zero frozen directions across a rich wander course."""
+        cfg = platforms.synthetic(n_lidars=1)
+        w = W.make_world(jax.random.PRNGKey(7))
+        traj = W.make_trajectory(jax.random.PRNGKey(8))
+        imgs, _ = W.render_sequence(w, traj, cfg.rig.models[0], 26,
+                                    noise_std=0.02, noise_seed=9)
+        pipe = OdometryPipeline(cfg)
+        thr = cfg.odometry.eig_threshold
+        frozen = 0
+        for i in range(26):
+            img = RangeImage(*[jax.tree.map(lambda x: x[i], f)
+                               for f in imgs])
+            o = pipe.process([img])
+            if o.win_eig is not None:
+                # non-pivot blocks (the pivot carries the gauge anchor)
+                frozen += int(np.sum(np.asarray(o.win_eig)[1:] < thr))
+        assert frozen == 0, frozen

@@ -136,6 +136,62 @@ class TestRobust:
         near_l2 = robust.surrogate_gm_weight(s, 1.0, 1e6)
         np.testing.assert_allclose(near_l2, 1.0, atol=1e-4)
 
+    def test_gnc_mu_schedule_anneals_to_gm(self):
+        """The compressed GNC schedule starts at mu_init and lands exactly
+        at 1 (the GM limit) on the final iteration; monotone decreasing."""
+        sched = robust.gnc_mu_schedule(20.0, 4)
+        mus = [float(sched(i)) for i in range(5)]
+        np.testing.assert_allclose(mus[0], 20.0, rtol=1e-5)
+        np.testing.assert_allclose(mus[3], 1.0, rtol=1e-5)
+        np.testing.assert_allclose(mus[4], 1.0, rtol=1e-5)  # clamped past end
+        assert all(a >= b for a, b in zip(mus, mus[1:]))
+        # degenerate 1-iteration budget: straight to GM
+        assert float(robust.gnc_mu_schedule(20.0, 1)(0)) == 1.0
+
+    def test_loss_weight_dispatch(self):
+        s = jnp.array([0.04])
+        np.testing.assert_allclose(
+            robust.loss_weight(s, "gm", gm_c=0.2),
+            robust.geman_mcclure_weight(s, 0.2))
+        np.testing.assert_allclose(
+            robust.loss_weight(s, "gnc_gm", gm_c=0.2, gnc_mu=5.0),
+            robust.surrogate_gm_weight(s, 0.2, 5.0))
+        with pytest.raises(ValueError):
+            robust.loss_weight(s, "nope")
+
+    def test_gnc_solve_recovers_under_outliers(self):
+        """A 1-D location GN solve with 30% coherent outliers: huber is
+        dragged, gnc_gm (annealed through gauss_newton's mu_schedule)
+        recovers the inlier mode — the reference's reason for shipping
+        GNC (impl_loss_function.hpp:94-125)."""
+        from mloam_tpu.solver.gauss_newton import gauss_newton
+
+        rng = np.random.default_rng(0)
+        inl = rng.normal(0.0, 0.02, size=140)
+        out = np.full(60, 1.5) + rng.normal(0.0, 0.02, size=60)
+        z = jnp.asarray(np.concatenate([inl, out]), jnp.float32)
+
+        def make_res(kind):
+            def res(x, mu=1.0):
+                r = x[0] - z
+                w = robust.loss_weight(
+                    jax.lax.stop_gradient(r * r), kind, delta=0.1,
+                    gm_c=0.1, gnc_mu=mu)
+                return r, w
+            if kind != "gnc_gm":
+                return lambda x: res(x)
+            return res
+
+        retract = lambda x, dx: x + dx
+        x0 = jnp.array([0.4])  # seeded between the modes
+        xh = gauss_newton(make_res("huber"), x0, retract, dim=1, iters=8)
+        xg = gauss_newton(make_res("gnc_gm"), x0, retract, dim=1, iters=8,
+                          mu_schedule=robust.gnc_mu_schedule(20.0, 9))
+        err_h = abs(float(xh.x[0]))
+        err_g = abs(float(xg.x[0]))
+        assert err_g < 0.01, err_g        # GNC lands on the inlier mode
+        assert err_g < 0.2 * err_h        # and beats huber by far
+
 
 class TestMarginalization:
     def test_linear_gaussian_consistency(self):
