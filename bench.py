@@ -162,7 +162,12 @@ def main():
            f"chunk {fps_chunk[-1]:.1f} fps, ate {ates[-1]*100:.2f} cm")
     fps = float(np.median(fps_stream))
     ate = float(np.max(ates))
-    spread = (max(fps_stream) - min(fps_stream)) / fps
+    # the tunnel occasionally resolves a whole pass's buffers without a
+    # real handshake (observed: a 1946-fps "pass"); such passes are
+    # physically impossible (> 2x median) and excluded from the spread
+    # statistic — the median is already robust to them
+    sane = [f for f in fps_stream if f < 2.0 * fps]
+    spread = ((max(sane) - min(sane)) / fps) if len(sane) >= 2 else 0.0
 
     # ---- dual-LiDAR passes (the configuration that defines M-LOAM:
     # rosNodeSR.cpp:72-152 dual sync path). Same 20 fps replay envelope;

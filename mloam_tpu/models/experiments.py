@@ -135,30 +135,59 @@ def single_test(args):
 
 
 def mc_test(args):
-    """Monte-Carlo trials over world/trajectory seeds."""
-    cfg = platforms.synthetic(n_lidars=args.lidars)
-    ates, fpss = [], []
+    """Monte-Carlo program over the reference's sweep shape
+    (``run_mloam.py:95-163``: trials x sequences x variants): N trials of
+    disjoint world/trajectory seeds for each cell of
+    {single, dual rig} x {default, realtime_tuned preset}, reporting
+    per-cell ATE mean/std/max. The dual cells run fixed calibrated
+    extrinsics (the post-calibration operating mode)."""
+    from mloam_tpu.odometry import estimator as E
+
+    X = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
     d = _outdir("mc")
-    for trial in range(args.trials):
-        res = run_sequence(cfg, args.frames, seed=100 + trial,
-                           n_lidars=args.lidars)
-        ates.append(res["ate_m"])
-        fpss.append(res["fps"])
-        evaluation.save_tum(
-            os.path.join(d, f"traj_trial{trial}.tum"),
-            res["times"], res["est_t"], res["est_q"],
-        )
-        print(f"trial {trial}: ATE {res['ate_m']*100:.2f} cm")
-    summary = {
-        "trials": args.trials,
-        "ate_mean_m": float(np.mean(ates)),
-        "ate_std_m": float(np.std(ates)),
-        "ate_max_m": float(np.max(ates)),
-        "fps_mean": float(np.mean(fpss)),
-    }
+    cells = {}
+    for rig in (1, 2):
+        for preset in ("default", "tuned"):
+            cfg = platforms.synthetic(n_lidars=rig, extrinsic_mode=0)
+            if preset == "tuned":
+                cfg = platforms.realtime_tuned(cfg)
+            cells[f"{'single' if rig == 1 else 'dual'}_{preset}"] = (cfg,
+                                                                     rig)
+    summary = {"trials": args.trials, "frames": args.frames,
+               "platform": jax.devices()[0].platform, "cells": {}}
+    for name, (cfg, rig) in cells.items():
+        ates, fpss = [], []
+        for trial in range(args.trials):
+            pipe = None
+            if rig > 1:
+                from mloam_tpu.models.pipeline import FullPipeline
+
+                pipe = FullPipeline(cfg)
+                ext = Pose(jnp.stack([Pose.identity().q, X.q]),
+                           jnp.stack([Pose.identity().t, X.t]))
+                pipe.odom.window = E.set_extrinsics(pipe.odom.window, ext)
+            res = run_sequence(cfg, args.frames, seed=100 + trial,
+                               n_lidars=rig, ext_true=X, pipe=pipe)
+            ates.append(res["ate_m"])
+            fpss.append(res["fps"])
+            if name == "single_default":
+                evaluation.save_tum(
+                    os.path.join(d, f"traj_trial{trial}.tum"),
+                    res["times"], res["est_t"], res["est_q"],
+                )
+            print(f"{name} trial {trial}: ATE {res['ate_m']*100:.2f} cm",
+                  flush=True)
+        summary["cells"][name] = {
+            "ate_mean_m": float(np.mean(ates)),
+            "ate_std_m": float(np.std(ates)),
+            "ate_max_m": float(np.max(ates)),
+            "ate_per_trial_m": [round(float(a), 5) for a in ates],
+            "fps_mean": float(np.mean(fpss)),
+        }
     with open(os.path.join(d, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps(summary))
+    print(json.dumps({k: round(v["ate_mean_m"], 4)
+                      for k, v in summary["cells"].items()}))
 
 
 def inject_ext_test(args):
@@ -516,15 +545,36 @@ def slam_test(args):
         traj = W.make_trajectory(jax.random.PRNGKey(args.seed + 1),
                                  wobble=0.05)
     model = cfg.rig.models[0]
-    imgs, gt_poses = W.render_sequence(w, traj, model, args.frames,
-                                       noise_std=args.noise,
-                                       noise_seed=args.seed + 1000)
+    L = cfg.rig.n_lidars
+    # dual/multi-rig course: fixed calibrated extrinsics (the reference's
+    # loop module consumes the multi-lidar mapper output,
+    # loop_closure_node.cpp:167-291)
+    X = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+    exts = [Pose.identity() if l == 0 else se3.scale(X, float(l))
+            for l in range(L)]
+    seqs = []
+    for l in range(L):
+        s_l, g_l = W.render_sequence(w, traj, cfg.rig.models[l],
+                                     args.frames, extrinsic=exts[l],
+                                     noise_std=args.noise,
+                                     noise_seed=args.seed + 1000 * (l + 1))
+        seqs.append(s_l)
+        if l == 0:
+            gt_poses = g_l
     pipe = SlamPipeline(cfg)
+    if L > 1:
+        from mloam_tpu.odometry import estimator as EST
+
+        ext = Pose(jnp.stack([e.q for e in exts]),
+                   jnp.stack([e.t for e in exts]))
+        pipe.full.odom.window = EST.set_extrinsics(pipe.full.odom.window,
+                                                   ext)
     est_t, est_q, ts = [], [], []
     kf_gt_idx = []
     prev_kf = 0
     for i in range(args.frames):
-        img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+        frames = [RangeImage(*[jax.tree.map(lambda x: x[i], f)
+                               for f in s_l]) for s_l in seqs]
         if i == 12:
             # drop cold-compile samples from the stage stats (see
             # run_sequence) — loop-path compiles land well past frame 12,
@@ -532,7 +582,7 @@ def slam_test(args):
             # summary labels the block accordingly
             timing.reset()
         with timing.timer("odom_process"):
-            out = pipe.process([img])
+            out = pipe.process(frames)
             jax.block_until_ready(out.full.map_pose)
         est_t.append(np.asarray(out.full.map_pose.t))
         est_q.append(np.asarray(out.full.map_pose.q))
@@ -680,7 +730,12 @@ def corridor_test(args):
         for i in range(args.frames)
     ])
     d = _outdir("corridor")
-    thr_on = base.odometry.eig_threshold
+    # indoor/degenerate operating point: threshold calibrated for this
+    # course's 0.01 noise regime (spectra: e0 60-160, rich floor at this
+    # noise >= 232) — the reference tunes eig_thre_ per config yaml the
+    # same way; the product DEFAULT (100) is calibrated to stay silent
+    # on noiseless weak-geometry moments too
+    thr_on = 175.0
     summary = {"frames": args.frames, "noise_std": args.noise,
                "companion": {"offset_xy": [5.0, 0.8], "radius": 0.12,
                              "from_frame": comp_start,
@@ -870,7 +925,8 @@ def main():
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--lidars", type=int, default=1)
         if name in ("mc", "inject_ext"):
-            p.add_argument("--trials", type=int, default=3)
+            p.add_argument("--trials", type=int,
+                           default=5 if name == "mc" else 3)
         if name == "scaling":
             p.add_argument("--poses", type=int, default=256)
         if name == "slam":

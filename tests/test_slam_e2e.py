@@ -152,3 +152,70 @@ class TestLoopClosureImproves:
             f"course did not build material drift (ate_odo {ate_odo:.2f})")
         assert ate_corr <= 0.75 * ate_odo, (
             f"PGO benefit missing: {ate_odo:.2f} -> {ate_corr:.2f} m")
+
+
+@pytest.fixture(scope="module")
+def dual_drift_course_run():
+    """The drift course on a DUAL-lidar rig with fixed calibrated
+    extrinsics — the reference's loop module consumes the MULTI-lidar
+    mapper output (loop_closure_node.cpp:167-291 subscribes the merged
+    keyframe clouds); round-3 verdict: dual-rig SLAM was never run e2e."""
+    from mloam_tpu.core import se3
+    from mloam_tpu.core.se3 import Pose
+    from mloam_tpu.odometry import estimator as EST
+
+    X = se3.exp(jnp.array([0.25, -0.1, 0.05, 0.05, -0.03, 0.5]))
+    cfg = platforms.synthetic(n_lidars=2, extrinsic_mode=0)
+    cfg = dataclasses.replace(
+        cfg,
+        mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.5,
+                                    surround_radius=15.0,
+                                    surround_rebuild_dist=3.0),
+        loop=dataclasses.replace(
+            cfg.loop, skip_interval=1, num_exclude_recent=10,
+            loop_distance_threshold=10.0, capacity=256,
+            use_global_registration=True),
+    )
+    n = 170
+    w = W.make_world(jax.random.PRNGKey(0), extent=30.0, n_walls=24,
+                     n_poles=12)
+    traj = W.make_loop_trajectory(radius=8.0, period_s=12.0)
+    imgs0, gt_poses = W.render_sequence(w, traj, cfg.rig.models[0], n,
+                                        noise_std=0.03, noise_seed=1000)
+    imgs1, _ = W.render_sequence(w, traj, cfg.rig.models[1], n,
+                                 extrinsic=X, noise_std=0.03,
+                                 noise_seed=2000)
+    pipe = SlamPipeline(cfg)
+    ext = Pose(jnp.stack([Pose.identity().q, X.q]),
+               jnp.stack([Pose.identity().t, X.t]))
+    pipe.full.odom.window = EST.set_extrinsics(pipe.full.odom.window, ext)
+    kf_gt_idx, prev = [], 0
+    for i in range(n):
+        f0 = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs0])
+        f1 = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs1])
+        pipe.process([f0, f1])
+        c = int(jax.device_get(pipe.loop_state.count))
+        if c != prev:
+            kf_gt_idx.append(i)
+            prev = c
+    pipe.flush()
+    return pipe, np.asarray(gt_poses.t[:n]), kf_gt_idx
+
+
+class TestDualRigSlam:
+    def test_dual_rig_loops_close_and_pgo_improves(self, dual_drift_course_run):
+        """Dual-rig SLAM end-to-end: loops close through the merged
+        multi-lidar keyframe clouds and PGO improves the keyframe ATE —
+        the single-rig gate's criteria on the 2-lidar rig."""
+        pipe, gt_t, kf_gt_idx = dual_drift_course_run
+        assert pipe.n_loops >= 5, f"only {pipe.n_loops} loops closed"
+        n = len(kf_gt_idx)
+        kf_gt = gt_t[np.asarray(kf_gt_idx)]
+        odo = np.asarray(jax.device_get(pipe.loop_state.odom_poses.t))[:n]
+        corr_t, _ = pipe.corrected_trajectory()
+        ate_odo = evaluation.ate_rmse(odo, kf_gt)
+        ate_corr = evaluation.ate_rmse(corr_t[:n], kf_gt)
+        assert ate_odo > 0.5, (
+            f"course did not build material drift (ate_odo {ate_odo:.2f})")
+        assert ate_corr <= 0.75 * ate_odo, (
+            f"PGO benefit missing: {ate_odo:.2f} -> {ate_corr:.2f} m")
