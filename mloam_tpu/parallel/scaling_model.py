@@ -195,7 +195,20 @@ def measure_dd_costs(n_poses: int, mesh, n_loops: int = 32,
     compiled = lowered.compile()
     ca = compiled.cost_analysis() or {}
     coll = parse_collectives(compiled.as_text(), chips_per_host)
+    # one-time per-device INPUT bytes (shard data distribution for the
+    # full-solve efficiency definition): the actual factor/map rows one
+    # shard holds — NOT cost_analysis' bytes-accessed, which counts every
+    # HBM intermediate per iteration and overstates setup ~60x
+    mi = part.int_idx.shape[1]
+    so = part.own_rows.shape[1]
+    em = part.e_i.shape[1]
+    input_bytes = em * (4 + 3 + 6) * 4  # edge z_q, z_t, weight
+    if with_ba:
+        per_row = (ba_points * 3 + ba_map * 3 + ba_map * 3
+                   + ba_points + ba_map) * 4
+        input_bytes += (mi + so) * per_row
     return {
+        "input_bytes_per_device": int(input_bytes),
         "n_poses": n_poses,
         "n_edges": int(edges.i.shape[0]),
         "mesh": {"shape": list(mesh.devices.shape), "axes": list(axes)},
@@ -263,7 +276,7 @@ def efficiency_from_measured_ms(meas: dict, shard_ms: float,
     n_hosts = meas["mesh"]["shape"][0] if len(meas["mesh"]["shape"]) == 2 \
         else 1
     setup_bw = DCN_BW if n_hosts > 1 else ICI_BW
-    setup_bytes = meas.get("hbm_bytes_per_device_per_gn", 0.0)
+    setup_bytes = meas.get("input_bytes_per_device", 0.0)
     t_setup = setup_bytes / setup_bw
     full = (iters * t_comp) / (iters * (t_comp + t_comm) + t_setup)
     return {
