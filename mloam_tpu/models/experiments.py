@@ -607,7 +607,7 @@ def slam_test(args):
             "kf_ate_corrected_m": float(evaluation.ate_rmse(corr_t[:n], kf_gt)),
         }
 
-    d = _outdir("slam")
+    d = _outdir("slam" if cfg.rig.n_lidars == 1 else f"slam_l{cfg.rig.n_lidars}")
     evaluation.save_tum(os.path.join(d, "traj_est.tum"),
                         np.asarray(ts), est_t, est_q)
     viz.plot_trajectory(os.path.join(d, "trajectory.png"), est_t, gt_t,
