@@ -786,6 +786,34 @@ def corridor_test(args):
               f"ey_max={np.abs(err[:,1]).max():.3f} m "
               f"engaged={summary[label]['engaged_frames']}/"
               f"{len(eng)} frames")
+
+    # mapping-side engagement: the mapper's scan-to-map degeneracy probe
+    # (lidar_mapper_keyframe.cpp:1172-1204, MAP_EIG_THRE) on the same
+    # tunnel — records the mapper's measured eigenvalue floor and how
+    # often its threshold fires (the round-3 verdict's "same untested
+    # engagement question" for the mapping side)
+    full_cfg = dataclasses.replace(base, odometry=dataclasses.replace(
+        base.odometry, eig_threshold=thr_on))
+    fp = FullPipeline(full_cfg)
+    map_eigs = []
+    for i in range(args.frames):
+        img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+        fout = fp.process([img])
+        if fout.mapped and fout.map_eig_min is not None:
+            map_eigs.append(float(jax.device_get(fout.map_eig_min)))
+    map_eigs_in = [e for e in map_eigs[len(map_eigs) // 4:]]
+    mthr = base.mapping.eig_threshold
+    summary["mapper"] = {
+        "eig_threshold": mthr,
+        "eig_min_floor": float(np.min(map_eigs_in)) if map_eigs_in else None,
+        "eig_min_median": float(np.median(map_eigs_in))
+        if map_eigs_in else None,
+        "engaged_sweeps": int(sum(1 for e in map_eigs_in if e < mthr)),
+        "mapped_sweeps": len(map_eigs_in),
+    }
+    print(f"mapper: floor={summary['mapper']['eig_min_floor']} "
+          f"engaged={summary['mapper']['engaged_sweeps']}/"
+          f"{summary['mapper']['mapped_sweeps']} (thr {mthr})")
     with open(os.path.join(d, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: {kk: vv for kk, vv in v.items()

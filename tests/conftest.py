@@ -23,6 +23,10 @@ jax.config.update("jax_threefry_partitionable", True)
 
 # persistent compile cache: this host has 2 vCPUs; re-runs should not pay
 # XLA compile time again.
+# CAUTION: do not run two pytest processes concurrently against this dir —
+# concurrent writers can corrupt an entry, and jax's cache READ then
+# segfaults the process (observed 2026-08-21; `rm -rf tests/.jax_cache`
+# recovers).
 cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
