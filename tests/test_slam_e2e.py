@@ -155,6 +155,61 @@ class TestLoopClosureImproves:
 
 
 @pytest.fixture(scope="module")
+def strict_temporal_gate_run():
+    """The drift course with temporal_consistency_n=2 — the STRICTER gate
+    (the reference's checkTemporalConsistency is a pass-through,
+    pose_graph.cpp:330-361; n=1 matches it, and n=2 is this framework's
+    hardened variant that round-3 noted was never exercised in an e2e
+    that accepts loops through it). Loops must still close and help."""
+    cfg = platforms.synthetic(n_lidars=1)
+    cfg = dataclasses.replace(
+        cfg,
+        mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.5,
+                                    surround_radius=15.0,
+                                    surround_rebuild_dist=3.0),
+        loop=dataclasses.replace(
+            cfg.loop, skip_interval=1, num_exclude_recent=10,
+            loop_distance_threshold=10.0, capacity=256,
+            use_global_registration=True,
+            temporal_consistency_n=2),
+    )
+    n = 170
+    w = W.make_world(jax.random.PRNGKey(0), extent=30.0, n_walls=24,
+                     n_poles=12)
+    traj = W.make_loop_trajectory(radius=8.0, period_s=12.0)
+    imgs, gt_poses = W.render_sequence(w, traj, cfg.rig.models[0], n,
+                                       noise_std=0.03, noise_seed=1000)
+    pipe = SlamPipeline(cfg)
+    kf_gt_idx, prev = [], 0
+    for i in range(n):
+        img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+        pipe.process([img])
+        c = int(jax.device_get(pipe.loop_state.count))
+        if c != prev:
+            kf_gt_idx.append(i)
+            prev = c
+    pipe.flush()
+    return pipe, np.asarray(gt_poses.t[:n]), kf_gt_idx
+
+
+class TestStrictTemporalGate:
+    def test_loops_survive_strict_gate_and_help(self,
+                                                strict_temporal_gate_run):
+        """With n=2, loops commit only after two detections implying the
+        same drift correction — real revisits must still pass (the course
+        detects on consecutive keyframes) and PGO must still cut drift."""
+        pipe, gt_t, kf_gt_idx = strict_temporal_gate_run
+        assert pipe.n_loops >= 4, f"only {pipe.n_loops} loops survived n=2"
+        n = len(kf_gt_idx)
+        kf_gt = gt_t[np.asarray(kf_gt_idx)]
+        odo = np.asarray(jax.device_get(pipe.loop_state.odom_poses.t))[:n]
+        corr_t, _ = pipe.corrected_trajectory()
+        ate_odo = evaluation.ate_rmse(odo, kf_gt)
+        ate_corr = evaluation.ate_rmse(corr_t[:n], kf_gt)
+        assert ate_corr <= 0.85 * ate_odo, (ate_odo, ate_corr)
+
+
+@pytest.fixture(scope="module")
 def dual_drift_course_run():
     """The drift course on a DUAL-lidar rig with fixed calibrated
     extrinsics — the reference's loop module consumes the MULTI-lidar
