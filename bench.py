@@ -58,8 +58,9 @@ PASS_SEEDS = (7, 11, 13, 17, 19)
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from mloam_tpu.utils import compile_cache
+
+    compile_cache.setup(os.environ["JAX_COMPILATION_CACHE_DIR"])
     from mloam_tpu.core import rangeimage as RI
     from mloam_tpu.core.rangeimage import RangeImage
     from mloam_tpu.models import platforms

@@ -76,12 +76,14 @@ def save_pipeline(path: str, pipe) -> None:
     from mloam_tpu.models.pipeline import FullPipeline, OdometryPipeline, SlamPipeline
 
     if isinstance(pipe, SlamPipeline):
+        # snapshotting mid-pipeline: drain the one-sweep-delayed keyframe/
+        # verify stages BEFORE capturing state — flush() rebinds
+        # pipe.loop_state (and the counters), so capturing first would save
+        # a stale loop_state whose keyframe count lags the meta counters
+        pipe.flush()
         tree = (pipe.full.odom.window, pipe.full.mapper_state,
                 pipe.loop_state, tuple(pipe.full.odom.calib_buffers),
                 tuple(pipe.full.odom.motions), pipe.full.odom.world_pose)
-        # snapshotting mid-pipeline: drain the one-sweep-delayed keyframe/
-        # verify stages first so no in-flight device work is lost
-        pipe.flush()
         meta = {
             "kind": "slam",
             "frame_idx": pipe.full.odom.frame_idx,

@@ -22,14 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 # persistent compile cache: this host has 2 vCPUs; re-runs should not pay
-# XLA compile time again.
-# CAUTION: do not run two pytest processes concurrently against this dir —
-# concurrent writers can corrupt an entry, and jax's cache READ then
-# segfaults the process (observed 2026-08-21; `rm -rf tests/.jax_cache`
-# recovers).
-cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# XLA compile time again. compile_cache gives each process a private
+# hardlink-seeded mirror with atomic publish-on-exit, so concurrent pytest
+# runs or a killed run can never corrupt an entry another process reads
+# (a corrupt entry segfaults jax's cache read — observed 2026-08-21).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mloam_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.setup(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 
 def pytest_sessionstart(session):

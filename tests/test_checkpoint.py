@@ -54,6 +54,52 @@ class TestCheckpoint:
         os.remove(path)
 
 
+class TestSlamCheckpointFlush:
+    def test_save_captures_post_flush_loop_state(self):
+        """save_pipeline must flush() BEFORE capturing state: flush rebinds
+        pipe.loop_state (draining the one-sweep-delayed keyframe stage), so
+        capture-then-flush saved a loop_state whose keyframe count lagged
+        the meta counters — a restored pipeline's next scan-context query
+        then pointed at an empty slot (round-4 advisor, high)."""
+        import dataclasses
+        import tempfile
+
+        from mloam_tpu.models.pipeline import SlamPipeline
+        from mloam_tpu.sim import world as W
+
+        cfg = platforms.synthetic(n_lidars=1)
+        cfg = dataclasses.replace(
+            cfg,
+            mapping=dataclasses.replace(cfg.mapping, keyframe_dist=0.3,
+                                        skip_frames=1),
+            loop=dataclasses.replace(cfg.loop, skip_interval=1, capacity=32),
+        )
+        w = W.make_world(jax.random.PRNGKey(2), extent=25.0)
+        traj = W.make_loop_trajectory(radius=5.0, period_s=8.0)
+        n = 12
+        imgs, _ = W.render_sequence(w, traj, cfg.rig.models[0], n)
+        pipe = SlamPipeline(cfg)
+        for i in range(n):
+            img = RangeImage(*[jax.tree.map(lambda x: x[i], f) for f in imgs])
+            pipe.process([img])
+        # ensure the hazard is live: a keyframe must be in flight at save
+        assert pipe._pending_kf is not None or pipe._pending_verify is not None
+        path = tempfile.mktemp(suffix=".npz")
+        CK.save_pipeline(path, pipe)
+        pipe2 = SlamPipeline(cfg)
+        CK.load_pipeline(path, pipe2)
+        stored = int(jax.device_get(pipe2.loop_state.count))
+        assert pipe2.loop_kf_count == stored, (
+            f"restored loop_kf_count {pipe2.loop_kf_count} != stored "
+            f"keyframe count {stored} (stale pre-flush loop_state saved)")
+        assert pipe2.kf_counter == pipe.kf_counter
+        # restored pipeline keeps processing and can insert keyframes
+        img = RangeImage(*[jax.tree.map(lambda x: x[n - 1], f) for f in imgs])
+        out = pipe2.process([img])
+        assert bool(jnp.isfinite(out.full.map_pose.t).all())
+        os.remove(path)
+
+
 class TestNoiseInjection:
     def test_noisy_render_still_tracks(self):
         import dataclasses
