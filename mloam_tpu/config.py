@@ -81,6 +81,10 @@ class TrackerConfig:
     # floors (results/corridor; calibration in the
     # models/experiments.py corridor program).
     eig_threshold: float = 0.0
+    # frozen-direction purification as in OdometryConfig (only read when
+    # eig_threshold > 0; the tracker's per-frame solve carries no
+    # persistence state — it ships disabled, matching the reference)
+    eig_snap_purity: float | None = 0.8
     # Steady-state fast path: skip the scan-to-scan solve once the window is
     # warm and use the constant-velocity prediction directly; the window GN
     # (scan-to-local-map, a strictly richer problem) refines the pose, and
@@ -117,20 +121,51 @@ class OdometryConfig:
     surf_map_leaf: float = 0.4
     dist_sq_threshold: float = 1.0   # MIN_MATCH_SQ_DIS
     # Window degeneracy threshold (the reference's eig_thre_ vector,
-    # estimator.cpp:1598-1680, tuned PER PLATFORM CONFIG — and it must
-    # be: measured per-block spectra (demos/calibrate_eig.py +
-    # results/corridor) put the degenerate corridor direction at ~60-160
-    # (range noise 0.01) while feature-rich floors sit at >= 232 with
-    # noise 0.02 but dip to ~130 on NOISELESS renders (weak-geometry
-    # moments) — eigenvalue magnitude scales with both noise and scene
-    # richness, so no single value separates every regime. The default
-    # 100 stays silent on every feature-rich course measured (noisy or
-    # noiseless; verified ATE-neutral on the bench seeds) and engages on
-    # hard degeneracy; the corridor/indoor operating point overrides to
-    # 175 (calibrated for its 0.01 noise regime — the corridor program
-    # and test set it explicitly, as the reference's per-config yaml
-    # does).
-    eig_threshold: float = 100.0
+    # estimator.cpp:1598-1680, tuned PER PLATFORM CONFIG — and round 5
+    # established by measurement that it MUST be: no statistic of the
+    # measurement Hessian separates "corridor at noise 0.01" (remap must
+    # engage; e0 113-156) from "noiseless turning course" (must stay
+    # silent; e0 dips 14.7-207). Six gates were measured and ruled out —
+    # absolute magnitude, eigengap e0/e1, temporal persistence (turn dips
+    # run 42 consecutive frames), direction consistency (cos 0.998 on the
+    # slow turn), direction purity (the turn's rotating weak direction
+    # passes near canonical axes half the time), and support
+    # concentration n_eff (corridor spurious info is noise-tilt spread
+    # over ALL wall points: med 339 vs the turn's 117-1069). Record in
+    # BENCH_NOTES "Round-5 degeneracy-gate investigation" +
+    # demos/probe_{eig_gap,persistence,innovation,support}.py. Eigenvalue
+    # magnitude measures HOW MUCH curvature, not WHERE IT COMES FROM.
+    #
+    # Consequently the DEFAULT ships DISARMED (0.0) — matching the
+    # reference's shipped outdoor behavior (its tracker remap is
+    # committed disabled, lidar_tracker.cpp:108, and its window
+    # thresholds are per-platform yaml) — and the indoor/degenerate
+    # operating point (platforms.indoor_degenerate) arms it at the
+    # calibrated 175 with the round-5 harm-reduction stack: persistence +
+    # purity gating, canonical-axis snapping, and projector-consistent
+    # marginalization.
+    eig_threshold: float = 0.0
+    # Persistence gate: the remap engages only after eig_persist_k
+    # consecutive window solves whose shared-mean e0 sits below
+    # eig_threshold with a frame-to-frame-consistent weak direction
+    # (|dot| > eig_persist_cos); any non-degenerate or
+    # direction-inconsistent frame resets the run. Disengagement is
+    # immediate. 0 = engage per-frame (the reference's rule).
+    eig_persist_k: int = 5
+    eig_persist_cos: float = 0.9
+    # Support-concentration gate: engage only when the effective support
+    # count of curvature along the weak direction,
+    # n_eff = (Σ w_i (J_i·v0)²)² / Σ (w_i (J_i·v0)²)², sits BELOW this —
+    # spurious information (companion/noise returns in a corridor) is
+    # carried by a handful of correspondences, genuine sparse geometry by
+    # hundreds. Calibrated via demos/probe_support.py; None disables.
+    eig_support_neff: float | None = None
+    # Frozen-direction purification: snap a frozen eigvector to the
+    # canonical tangent axis it dominates when that component exceeds
+    # this bound (degeneracy._projector_from) — removes the measured
+    # ~0.3 z-impurity coupling of the corridor's frozen x direction
+    # (round-4: ez_max 1.74 m ON vs 0.39 OFF). None disables.
+    eig_snap_purity: float | None = 0.8
     # cap on frozen directions per block (degeneracy.block_projector):
     # 1 = freeze only the provably-degenerate leading direction; None =
     # the reference's freeze-all-below rule (safe only with a wide
@@ -218,7 +253,20 @@ class MappingConfig:
     loss_mode: str = "huber"
     gm_c: float = 1.0
     gnc_mu_init: float = 20.0
-    eig_threshold: float = 100.0
+    # mapper-side MAP_EIG_THRE (lidar_mapper_keyframe.cpp:1172-1204) with
+    # the same gate semantics as the window's (see OdometryConfig: the
+    # default ships DISARMED; platforms.indoor_degenerate arms it) — and
+    # its OWN remap knobs/huber delta (round-4 advisor: the mapper read
+    # cfg.odometry's, so tuning the odometry remap silently changed
+    # mapper behavior)
+    eig_threshold: float = 0.0
+    # persistence in MAPPER steps (the mapper runs every skip_frames
+    # sweeps, so the same wall-clock persistence needs fewer steps)
+    eig_persist_k: int = 3
+    eig_persist_cos: float = 0.9
+    eig_snap_purity: float | None = 0.8
+    remap_max_freeze: int | None = 1
+    huber_delta: float = 0.1
     trace_threshold: float = 10.0    # reject points with cov trace above
     voxel_trace_threshold: float = 2.0
     max_keyframes: int = 512

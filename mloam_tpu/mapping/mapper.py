@@ -71,6 +71,10 @@ class MapperState(NamedTuple):
     cov_meas: jnp.ndarray  # [3, 3] measurement covariance
     cache: SurroundMap
     step: jnp.ndarray     # scalar int32 mapping-step counter (PRNG stream)
+    # degeneracy persistence state (MAP_EIG_THRE counterpart with the
+    # round-5 temporal gate — see config.MappingConfig.eig_persist_k)
+    deg_dir: jnp.ndarray | None = None    # [6]
+    deg_count: jnp.ndarray | None = None  # scalar int32
 
 
 class MapperOutput(NamedTuple):
@@ -81,6 +85,10 @@ class MapperOutput(NamedTuple):
     n_surf: jnp.ndarray
     eig_min: jnp.ndarray
     inserted_kf: jnp.ndarray  # bool
+    # directions actually frozen by the applied projector (trace deficit;
+    # 0.0 when the remap is off or silent) — the mapper-side engagement
+    # signal (MAP_EIG_THRE counterpart)
+    frozen: jnp.ndarray | float = 0.0
 
 
 def uncertainty_sqrt_info(trace: jnp.ndarray) -> jnp.ndarray:
@@ -162,6 +170,8 @@ def init_state(cfg: MloamConfig) -> MapperState:
             valid=jnp.asarray(False),
         ),
         step=jnp.asarray(0, jnp.int32),
+        deg_dir=jnp.zeros((6,)),
+        deg_count=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -281,6 +291,9 @@ def scan_to_map(
     pose = pose_pred
     result = None
     ec = pc = None
+    deg_P = None
+    deg_dir = state.deg_dir
+    deg_count = state.deg_count
     for _ in range(mc.outer_iters):
         proj_c = se3.transform_points(pose, corner.xyz)
         proj_s = se3.transform_points(pose, surf.xyz)
@@ -339,12 +352,12 @@ def scan_to_map(
             re = factors.edge_residual(se3.transform_points(T, ec.p), ec)
             we = factors.robust_weights(
                 jnp.sum(re * re, -1), ec.w, mc.loss_mode,
-                cfg.odometry.huber_delta, gm_c=mc.gm_c, gnc_mu=mu,
+                mc.huber_delta, gm_c=mc.gm_c, gnc_mu=mu,
             )
             rp = factors.plane_residual(se3.transform_points(T, pc.p), pc)
             wp = factors.robust_weights(
                 rp * rp, pc.w, mc.loss_mode,
-                cfg.odometry.huber_delta, gm_c=mc.gm_c, gnc_mu=mu,
+                mc.huber_delta, gm_c=mc.gm_c, gnc_mu=mu,
             )
             qe = jnp.broadcast_to(T.q, (ec.p.shape[0], 4))
             qp = jnp.broadcast_to(T.q, (pc.p.shape[0], 4))
@@ -358,18 +371,60 @@ def scan_to_map(
                           + jnp.sum(wp * rp * rp))
             return H, g, cost
 
+        gnc = mc.loss_mode == "gnc_gm"
+        eff_iters = max(mc.gn_iters, 8) if gnc else mc.gn_iters
+        mu_sched = (robust.gnc_mu_schedule(mc.gnc_mu_init, eff_iters + 1)
+                    if gnc else None)
+        if deg_P is None and mc.eig_threshold > 0:
+            # ARMED path (indoor/degenerate operating point): persistence-
+            # gated mapper remap (MAP_EIG_THRE counterpart,
+            # lidar_mapper_keyframe.cpp:1172-1204): linearize once here,
+            # run the gate on the single-pose measurement Hessian, hand
+            # the projector + the linearization to the solver
+            with jax.default_matmul_precision("highest"):
+                mu0 = mu_sched(0) if mu_sched is not None else None
+                H0, g0, c0 = (linearize_fn(pose) if mu0 is None
+                              else linearize_fn(pose, mu0))
+                init_lin = (H0, g0, c0, H0)
+                vals, vecs = jnp.linalg.eigh(H0)
+                below = vals[0] < mc.eig_threshold
+                consistent = (jnp.abs(jnp.dot(vecs[:, 0], state.deg_dir))
+                              > mc.eig_persist_cos)
+                # leaky persistence credit (see the estimator's gate)
+                deg_count = jnp.where(
+                    below,
+                    jnp.where(consistent, state.deg_count + 1, 1),
+                    jnp.maximum(state.deg_count - 3, 0)).astype(jnp.int32)
+                deg_dir = jnp.where(below, vecs[:, 0], state.deg_dir)
+                engage = below & (deg_count >= mc.eig_persist_k)
+                if mc.eig_snap_purity is not None:
+                    # purity condition — see the estimator's gate: freeze
+                    # only a crisply-canonical starved axis
+                    engage = engage & (jnp.max(jnp.abs(vecs[:, 0]))
+                                       >= mc.eig_snap_purity)
+                P_eng, _ = degeneracy.block_projector(
+                    H0, mc.eig_threshold, mc.remap_max_freeze,
+                    snap_purity=mc.eig_snap_purity)
+                eye = jnp.broadcast_to(jnp.eye(6, dtype=P_eng.dtype),
+                                       P_eng.shape)
+                deg_P = jnp.where(engage, P_eng, eye)
+        else:
+            init_lin = None
         st = gauss_newton(
             None,
             pose,
             lambda T, dx: se3.boxplus(T, dx),
             dim=6,
-            iters=mc.gn_iters,
-            remap_threshold=mc.eig_threshold,
-            remap_max_freeze=cfg.odometry.remap_max_freeze,
+            iters=eff_iters,
+            # disarmed: threshold 0.0 still populates eig diagnostics
+            # (freezes nothing); armed: the gated projector applies
+            remap_threshold=mc.eig_threshold if deg_P is None else None,
+            remap_max_freeze=mc.remap_max_freeze,
+            remap_snap_purity=mc.eig_snap_purity,
+            remap_P=deg_P,
+            init_linearization=init_lin,
             linearize_fn=linearize_fn,
-            mu_schedule=(robust.gnc_mu_schedule(mc.gnc_mu_init,
-                                                mc.gn_iters + 1)
-                         if mc.loss_mode == "gnc_gm" else None),
+            mu_schedule=mu_sched,
         )
         pose = st.x
         result = st
@@ -380,6 +435,7 @@ def scan_to_map(
     return (
         pose, cov, result.cost,
         jnp.sum(ec.w > 0), jnp.sum(pc.w > 0), result.eig0[0, 0],
+        result.frozen[0], deg_dir, deg_count,
     )
 
 
@@ -410,12 +466,12 @@ def mapper_step(
         return (
             pose_pred, jnp.eye(6) * 1e-2, jnp.asarray(0.0),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(0.0),
+            jnp.asarray(0.0), jnp.asarray(0.0),
+            state.deg_dir, state.deg_count,
         )
 
-    pose, cov, cost, nc, ns, eig = jax.lax.cond(
-        has_map, refine, passthrough, None
-    )
+    (pose, cov, cost, nc, ns, eig, frozen, deg_dir,
+     deg_count) = jax.lax.cond(has_map, refine, passthrough, None)
 
     # drift correction update (transformUpdate :154)
     pose_map_odom = se3.compose(pose, se3.inverse(odom_pose))
@@ -434,10 +490,10 @@ def mapper_step(
 
     new_state = state._replace(
         db=db, pose_map_odom=pose_map_odom, last_kf_pose=last_kf,
-        step=state.step + 1,
+        step=state.step + 1, deg_dir=deg_dir, deg_count=deg_count,
     )
     out = MapperOutput(
         pose=pose, cov=cov, cost=cost, n_corner=nc, n_surf=ns,
-        eig_min=eig, inserted_kf=ins,
+        eig_min=eig, inserted_kf=ins, frozen=frozen,
     )
     return new_state, out

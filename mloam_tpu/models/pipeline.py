@@ -71,6 +71,16 @@ class OdometryOutput(NamedTuple):
     # paths that skip the solve.
     win_eig: jnp.ndarray | None = None
     trk_eig: jnp.ndarray | None = None
+    # [n_blocks] directions actually frozen by the window solve's applied
+    # projector (trace deficit — the TRUE engagement signal; round-4
+    # advisor: counting raw sub-threshold eigenvalues overstates it)
+    win_frozen: jnp.ndarray | None = None
+    # [6] the shared-mean block spectrum the remap gate actually sees
+    win_eig_shared: jnp.ndarray | None = None
+    # [6] its weakest eigvector (candidate frozen direction)
+    win_weak_dir: jnp.ndarray | None = None
+    # effective support count of curvature along the weak direction
+    win_support_neff: jnp.ndarray | None = None
 
 
 class OdometryPipeline:
@@ -519,6 +529,9 @@ class OdometryPipeline:
                 ext_mode=self.ext_mode, cost=solve.cost,
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
                 win_eig=solve.eig_blocks, trk_eig=trk_eig,
+                win_frozen=solve.frozen, win_eig_shared=solve.eig_shared,
+                win_weak_dir=solve.weak_dir,
+                win_support_neff=solve.support_neff,
             )
 
         # fast path: steady single-lidar odometry — one dispatch per sweep
@@ -542,6 +555,9 @@ class OdometryPipeline:
                 ext_mode=self.ext_mode, cost=solve.cost,
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
                 win_eig=solve.eig_blocks, trk_eig=trk_eig,
+                win_frozen=solve.frozen, win_eig_shared=solve.eig_shared,
+                win_weak_dir=solve.weak_dir,
+                win_support_neff=solve.support_neff,
             )
 
         ffs, corners, surfs = [], [], []
@@ -616,6 +632,9 @@ class OdometryPipeline:
                 ext_mode=self.ext_mode, cost=solve.cost,
                 n_corner=solve.n_corner, n_surf=solve.n_surf,
                 win_eig=solve.eig_blocks, trk_eig=res0.eig,
+                win_frozen=solve.frozen, win_eig_shared=solve.eig_shared,
+                win_weak_dir=solve.weak_dir,
+                win_support_neff=solve.support_neff,
             )
         else:
             self.window, pred = self._push_only(*step_args, mode2=mode2)
@@ -643,6 +662,9 @@ class FullOutput(NamedTuple):
     # pass-through sweeps). NOT fetched here — SlamPipeline reads it one
     # sweep later so the keyframe path never blocks on the mapper program
     inserted_kf: jnp.ndarray | None = None
+    # directions the mapper's remap actually froze this sweep (trace
+    # deficit of the applied projector; None on pass-through sweeps)
+    map_frozen: jnp.ndarray | None = None
 
 
 class FullPipeline:
@@ -758,6 +780,7 @@ class FullPipeline:
             return FullOutput(
                 odom=out, map_pose=mout.pose, map_cov=mout.cov, mapped=True,
                 map_eig_min=mout.eig_min, inserted_kf=mout.inserted_kf,
+                map_frozen=mout.frozen,
             )
         map_pose = self.odom._compose(self.mapper_state.pose_map_odom, out.pose)
         return FullOutput(odom=out, map_pose=map_pose, map_cov=None,

@@ -73,8 +73,15 @@ def oxford(extrinsic_mode: int = 0) -> MloamConfig:
 
 
 def kitti() -> MloamConfig:
-    """KITTI: config_realvehicle_kitti.yaml (1x HDL-64, fixed extrinsics)."""
-    cfg = MloamConfig(rig=LidarRig(models=(HDL64,), extrinsic_mode=0))
+    """KITTI: config_realvehicle_kitti.yaml (1x HDL-64, fixed extrinsics).
+
+    Uses the HDL-64's real two-density beam ladder (reference
+    image_segmenter.hpp:104-111) — uniform elevation binning on this
+    sensor mis-bins the lower block's 1/2-deg-spaced rings."""
+    from mloam_tpu.core.rangeimage import hdl64_ring_table
+
+    model = HDL64._replace(ring_elevations_deg=hdl64_ring_table())
+    cfg = MloamConfig(rig=LidarRig(models=(model,), extrinsic_mode=0))
     return dataclasses.replace(
         cfg, segmenter=dataclasses.replace(cfg.segmenter, ground_rows=30)
     )
@@ -107,3 +114,26 @@ def synthetic(n_lidars: int = 1, extrinsic_mode: int = 0) -> MloamConfig:
     """The simulator fixture platform (tests/bench)."""
     return _rig_budget(MloamConfig(rig=LidarRig(models=(SIM16,) * n_lidars,
                                                 extrinsic_mode=extrinsic_mode)))
+
+
+def indoor_degenerate(cfg: MloamConfig) -> MloamConfig:
+    """The indoor/degenerate-geometry operating point: ARM the solution
+    remap (window + mapper) at the calibrated threshold with the round-5
+    harm-reduction stack (persistence + purity gating, canonical-axis
+    snapping, projector-consistent marginalization).
+
+    The product DEFAULT ships the remap disarmed because no measurement-
+    Hessian statistic separates corridor degeneracy from genuine sparse
+    geometry on turning courses (six gates measured and ruled out — see
+    config.OdometryConfig.eig_threshold and BENCH_NOTES "Round-5
+    degeneracy-gate investigation"); arming is an ENVIRONMENT decision,
+    exactly as the reference makes it per-platform (its eig_thre_ yaml,
+    estimator.cpp:1598-1680; its config_simu_jackal.yaml vs indoor
+    variants). Threshold 175 is calibrated for the 0.01 m noise regime:
+    corridor window floors 113-156, rich floors at that noise >= 232
+    (demos/calibrate_eig.py, probe_eig_gap.py)."""
+    return dataclasses.replace(
+        cfg,
+        odometry=dataclasses.replace(cfg.odometry, eig_threshold=175.0),
+        mapping=dataclasses.replace(cfg.mapping, eig_threshold=175.0),
+    )

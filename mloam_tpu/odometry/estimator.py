@@ -42,6 +42,7 @@ from mloam_tpu.core.se3 import Pose
 from mloam_tpu.frontend.features import FeatCloud
 from mloam_tpu.ops import select, voxel
 from mloam_tpu.solver import degeneracy, factors, robust
+from mloam_tpu.solver.gauss_newton import _linearize as GN_linearize
 from mloam_tpu.solver.gauss_newton import gauss_newton
 from mloam_tpu.solver.marginalization import QuadPrior, schur_marginalize_quad
 
@@ -63,6 +64,13 @@ class WindowState(NamedTuple):
     prior: QuadPrior
     prior_poses: Pose      # [S] linearization poses for the prior
     prior_ext: Pose        # [L] linearization extrinsics for the prior
+    # degeneracy persistence state (round 5): the weak direction seen by
+    # the last solve and the length of the current consistent
+    # sub-threshold run — the remap engages only when the run reaches
+    # cfg.odometry.eig_persist_k (sustained directional starvation =
+    # corridor; transient dips on turning courses never engage)
+    deg_dir: jnp.ndarray   # [6]
+    deg_count: jnp.ndarray  # scalar int32
 
 
 def _stack_feat(fs: list[FeatCloud]) -> FeatCloud:
@@ -90,6 +98,8 @@ def init_window(cfg: MloamConfig, cap_corner: int, cap_surf: int) -> WindowState
         prior=QuadPrior.empty(opt_dim),
         prior_poses=Pose.identity((s,)),
         prior_ext=Pose.identity((L,)),
+        deg_dir=jnp.zeros((6,)),
+        deg_count=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -241,6 +251,21 @@ class WindowSolveResult(NamedTuple):
     # marginalize_pivot)
     H_prior: jnp.ndarray | None = None
     g_prior: jnp.ndarray | None = None
+    # [n_blocks] directions ACTUALLY frozen per block (trace deficit of
+    # the applied projector) — the true engagement signal; counting raw
+    # sub-threshold eigenvalues overstates it (round-4 advisor)
+    frozen: jnp.ndarray | None = None
+    # [6] the shared-mean block spectrum the gate actually sees
+    eig_shared: jnp.ndarray | None = None
+    # [6] its weakest eigvector (candidate frozen direction)
+    weak_dir: jnp.ndarray | None = None
+    # [n, 6, 6] the projector the solve APPLIED (identity when the
+    # persistence gate kept the remap disengaged) — marginalize_pivot
+    # reuses it directly so the prior projection is exactly consistent
+    # with the solve's freezing decision
+    remap_P: jnp.ndarray | None = None
+    # effective support count of curvature along the weak direction
+    support_neff: jnp.ndarray | None = None
 
 
 def optimize_window(state: WindowState, cfg: MloamConfig,
@@ -355,6 +380,12 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
     x = (state.poses, state.ext)
     result = None
     edge_corrs = plane_corrs = None
+    # persistence-gate state (updated on the first outer iteration's
+    # linearization; carried through WindowState)
+    deg_P = None
+    deg_dir = state.deg_dir
+    deg_count = state.deg_count
+    support_neff = None
 
     nq = len(q_ids)
     # all query frames share the same target map, so the per-frame
@@ -544,20 +575,96 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
                           + jnp.sum(wp * rp * rp) + jnp.sum(rsm * rsm))
             return H, g, cost
 
+        gnc = oc.loss_mode == "gnc_gm"
+        # GNC needs iterations to anneal (see tracker.py note); the gnc
+        # mode gets a full budget — opt-in cost with the loss mode
+        eff_iters = max(oc.gn_iters, 8) if gnc else oc.gn_iters
+        mu_sched = (robust.gnc_mu_schedule(oc.gnc_mu_init, eff_iters + 1)
+                    if gnc else None)
+        if deg_P is None and analytic and oc.eig_threshold > 0:
+            # ARMED path (indoor/degenerate operating point —
+            # platforms.indoor_degenerate; the default ships disarmed,
+            # see config.OdometryConfig.eig_threshold): persistence- and
+            # purity-gated solution remapping. Linearize once HERE so the
+            # gate sees the measurement Hessian, then hand the (possibly
+            # identity) projector and the linearization to the solver —
+            # no double work.
+            with jax.default_matmul_precision("highest"):
+                init_lin = GN_linearize(
+                    None, retract, x, dim,
+                    quad_prior=(prior_delta, state.prior),
+                    linearize_fn=linearize_fn,
+                    mu=mu_sched(0) if mu_sched is not None else None)
+                Hm0 = init_lin[3]
+                vals_sh, v0 = degeneracy.shared_weak_direction(Hm0)
+                below = vals_sh[0] < oc.eig_threshold
+                consistent = (jnp.abs(jnp.dot(v0, state.deg_dir))
+                              > oc.eig_persist_cos)
+                # leaky persistence credit: +1 per consistent sub-threshold
+                # frame, fast decay (-3) on clear frames — a single
+                # flicker above the ceiling doesn't zero a corridor's
+                # standing, while a real regime exit drains in ~2 frames
+                # (and `engage` requires the CURRENT frame below anyway,
+                # so disengagement is immediate regardless)
+                deg_count = jnp.where(
+                    below,
+                    jnp.where(consistent, state.deg_count + 1, 1),
+                    jnp.maximum(state.deg_count - 3, 0)).astype(jnp.int32)
+                deg_dir = jnp.where(below, v0, state.deg_dir)
+                engage = below & (deg_count >= oc.eig_persist_k)
+                if oc.eig_snap_purity is not None:
+                    # purity condition: freeze only a crisply-canonical
+                    # starved axis (corridor max|v0| = 0.99; a rotating
+                    # mixed weak direction indicates moving-frame weak
+                    # geometry, where freezing corrupts real motion)
+                    engage = engage & (jnp.max(jnp.abs(v0))
+                                       >= oc.eig_snap_purity)
+                # SUPPORT-CONCENTRATION gate (round 5): per-correspondence
+                # contributions to curvature along v0, a_i = w_i (J_i·v0)².
+                # Spurious information is CONCENTRATED — a corridor's
+                # along-axis stiffness is carried by a handful of
+                # companion/noise returns — while genuine sparse geometry
+                # spreads over hundreds of features. The effective support
+                # count n_eff = (Σa)²/Σa² separates regimes every
+                # Hessian-eigenvalue statistic cannot (e0 bands overlap:
+                # corridor-0.01 113-156 vs noiseless-turn 69-207 —
+                # measured via demos/probe_*.py).
+                (cq0, _), (sq0, _) = point_poses(x, nc_cur, ns_cur)
+                Jp_r = factors.plane_point_jacobian(sq0, plane_corrs)
+                Je_r = factors.edge_point_jacobian(cq0, edge_corrs)
+                a_p = plane_corrs.w * jnp.square(Jp_r @ v0)
+                a_e = edge_corrs.w * jnp.sum(
+                    jnp.square(jnp.einsum("nkd,d->nk", Je_r, v0)), -1)
+                a = jnp.concatenate([a_p, a_e])
+                neff = jnp.square(jnp.sum(a)) / jnp.maximum(
+                    jnp.sum(a * a), 1e-20)
+                support_neff = neff
+                if oc.eig_support_neff is not None:
+                    engage = engage & (neff < oc.eig_support_neff)
+                P_eng, _ = degeneracy.block_projector(
+                    Hm0, oc.eig_threshold, oc.remap_max_freeze,
+                    shared=oc.remap_shared,
+                    snap_purity=oc.eig_snap_purity)
+                eye = jnp.broadcast_to(jnp.eye(6, dtype=P_eng.dtype),
+                                       P_eng.shape)
+                deg_P = jnp.where(engage, P_eng, eye)
+        else:
+            init_lin = None
         st = gauss_newton(
             None if analytic else residual_fn,
             x,
             retract,
             dim=dim,
-            iters=oc.gn_iters,
-            remap_threshold=oc.eig_threshold,
+            iters=eff_iters,
+            remap_threshold=oc.eig_threshold if deg_P is None else None,
             remap_max_freeze=oc.remap_max_freeze,
             remap_shared=oc.remap_shared,
+            remap_snap_purity=oc.eig_snap_purity,
+            remap_P=deg_P,
+            init_linearization=init_lin,
             quad_prior=(prior_delta, state.prior),
             linearize_fn=linearize_fn if analytic else None,
-            mu_schedule=(robust.gnc_mu_schedule(oc.gnc_mu_init,
-                                                oc.gn_iters + 1)
-                         if oc.loss_mode == "gnc_gm" else None),
+            mu_schedule=mu_sched,
         )
         x = st.x
         result = st
@@ -594,8 +701,14 @@ def optimize_window(state: WindowState, cfg: MloamConfig,
         eig_blocks=result.eig0,
         H_prior=Hq,
         g_prior=g_prior,
+        frozen=result.frozen,
+        eig_shared=result.eig_shared,
+        weak_dir=result.weak_dir,
+        remap_P=deg_P,
+        support_neff=support_neff,
     )
-    return state._replace(poses=poses, ext=ext), solve
+    return state._replace(poses=poses, ext=ext, deg_dir=deg_dir,
+                          deg_count=deg_count), solve
 
 
 def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
@@ -629,9 +742,16 @@ def marginalize_pivot(state: WindowState, solve: WindowSolveResult,
         # marginalization never co-engage in its shipped configs.
         Hm = H_in - solve.H_prior
         gm = g_in - solve.g_prior
-        P, _ = degeneracy.block_projector(Hm, oc.eig_threshold,
-                                          oc.remap_max_freeze,
-                                          shared=oc.remap_shared)
+        if solve.remap_P is not None:
+            # reuse the EXACT projector the solve applied (identity when
+            # the persistence gate kept the remap disengaged) — the prior
+            # then stores precisely the measurements the solve accepted
+            P = solve.remap_P
+        else:
+            P, _ = degeneracy.block_projector(Hm, oc.eig_threshold,
+                                              oc.remap_max_freeze,
+                                              shared=oc.remap_shared,
+                                              snap_purity=oc.eig_snap_purity)
         n = P.shape[0]
         H4 = Hm.reshape(n, 6, n, 6)
         Hm = jnp.einsum("aij,ajbl,bkl->aibk", P, H4, P).reshape(n * 6,

@@ -61,6 +61,19 @@ class GNState(NamedTuple):
     g: jnp.ndarray
     eig0: jnp.ndarray  # [D/6, 6] ascending eigvals of H0's diagonal blocks
     #                    (zeros unless remap_threshold was given)
+    frozen: jnp.ndarray  # [D/6] directions actually frozen per block =
+    #                      trace deficit of the applied projector (zeros
+    #                      when no remap) — the TRUE engagement signal
+    #                      (counting raw sub-threshold eigenvalues
+    #                      overstates it; round-4 advisor)
+    eig_shared: jnp.ndarray  # [6] ascending spectrum of the mean
+    #                          non-anchored block — what the shared
+    #                          projector's gate actually sees (zeros when
+    #                          no remap)
+    weak_dir: jnp.ndarray  # [6] weakest eigvector of the shared-mean
+    #                        block (zeros when no remap) — the candidate
+    #                        frozen direction, exposed for the
+    #                        persistence gate and diagnostics
 
 
 def _linearize(residual_fn: ResidualFn, retract: RetractFn, x, dim: int,
@@ -143,6 +156,10 @@ def gauss_newton(
     remap_threshold: float | None = None,
     remap_max_freeze: int | None = 1,
     remap_shared: bool = False,
+    remap_rel_gap: float | None = None,
+    remap_snap_purity: float | None = None,
+    remap_P: jnp.ndarray | None = None,
+    init_linearization=None,
     quad_prior: QuadPriorSpec | None = None,
     linearize_fn: LinearizeFn | None = None,
     iteration_hook: Callable[[jnp.ndarray, GNState], GNState] | None = None,
@@ -179,32 +196,67 @@ def gauss_newton(
 
     with jax.default_matmul_precision("highest"):
         mu0 = mu_schedule(0) if mu_schedule is not None else None
-        H0, g0, c0, Hm0 = _linearize(residual_fn, retract, x0, dim,
-                                     quad_prior, linearize_fn, mu0)
-        if remap_threshold is not None:
+        if init_linearization is not None:
+            # caller already linearized at x0 (e.g. to run the persistence
+            # gate on the measurement Hessian before the solve) — don't
+            # pay a second full linearization
+            H0, g0, c0, Hm0 = init_linearization
+        else:
+            H0, g0, c0, Hm0 = _linearize(residual_fn, retract, x0, dim,
+                                         quad_prior, linearize_fn, mu0)
+        if remap_P is not None:
+            # externally-gated projector (the persistence gate builds P —
+            # possibly identity — from temporal state the solver cannot
+            # see); diagnostics still derive from Hm0
+            P0 = remap_P
+            n_bl = dim // 6 if dim % 6 == 0 else 0
+            blocks = jnp.stack([Hm0[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6]
+                                for i in range(n_bl)])
+            eig0 = jnp.linalg.eigvalsh(blocks)
+            frozen0 = 6.0 - jnp.trace(P0, axis1=-2, axis2=-1)
+            eig_sh, wdir = degeneracy.shared_weak_direction(Hm0)
+        elif remap_threshold is not None:
             # projector from the MEASUREMENT-ONLY Hessian: the reference's
             # evalDegenracy runs on res_ids_proj (point factors + extrinsic
             # priors), NOT the marginalization prior (estimator.cpp:
             # 1578-1594) — the prior's accumulated memory would otherwise
             # mask directions the CURRENT sweep cannot observe (a corridor
             # looks fully constrained forever once the prior matures)
-            P0, eig0 = degeneracy.block_projector(Hm0, remap_threshold,
-                                                  remap_max_freeze,
-                                                  shared=remap_shared)
+            P0, eig0 = degeneracy.block_projector(
+                Hm0, remap_threshold, remap_max_freeze, shared=remap_shared,
+                rel_gap=remap_rel_gap, snap_purity=remap_snap_purity)
+            frozen0 = 6.0 - jnp.trace(P0, axis1=-2, axis2=-1)
+            eig_sh, wdir = degeneracy.shared_weak_direction(Hm0)
         else:
             P0 = None
             eig0 = jnp.zeros((dim // 6 if dim % 6 == 0 else 0, 6), H0.dtype)
+            frozen0 = jnp.zeros((eig0.shape[0],), H0.dtype)
+            eig_sh = jnp.zeros((6,), H0.dtype)
+            wdir = jnp.zeros((6,), H0.dtype)
         init = GNState(x0, c0, jnp.asarray(init_lambda, jnp.float32), H0, g0,
-                       eig0)
+                       eig0, frozen0, eig_sh, wdir)
 
         def body(i, st: GNState) -> GNState:
+            if mu_schedule is not None:
+                # GNC annealing: costs under different convexity μ are not
+                # comparable (shrinking μ shrinks weights, so cost would
+                # almost always "drop" and the accept gate would pass bad
+                # steps — round-4 advisor). Re-linearize the current
+                # iterate under this iteration's μ so the step, the
+                # reference cost, and the trial cost all share one μ.
+                mu_i = mu_schedule(i + 1)
+                H_r, g_r, c_r, _ = _linearize(residual_fn, retract, st.x,
+                                              dim, quad_prior, linearize_fn,
+                                              mu_i)
+                st = st._replace(H=H_r, g=g_r, cost=c_r)
+            else:
+                mu_i = None
             dx = solve_normal(st.H, st.g, st.lm_lambda)
             if P0 is not None:
                 dx = degeneracy.apply_block_projector(P0, dx)
             if remap_fn is not None:
                 dx = remap_fn(st.H, dx)
             x_new = retract(st.x, dx)
-            mu_i = mu_schedule(i + 1) if mu_schedule is not None else None
             H, g, cost, _ = _linearize(residual_fn, retract, x_new, dim,
                                        quad_prior, linearize_fn, mu_i)
             accept = cost <= st.cost
@@ -221,6 +273,9 @@ def gauss_newton(
                 jax.tree.map(lambda a, b: jnp.where(accept, a, b), H, st.H),
                 jax.tree.map(lambda a, b: jnp.where(accept, a, b), g, st.g),
                 st.eig0,
+                st.frozen,
+                st.eig_shared,
+                st.weak_dir,
             )
             if iteration_hook is not None:
                 st = iteration_hook(i, st)

@@ -386,3 +386,70 @@ class TestPackedFrame:
             )[m]
             d = plane_distances(w, pts_w)
             assert np.median(d[np.isfinite(d)]) < 0.05
+
+
+class TestHdl64BeamTable:
+    """Non-uniform beam-table projection (reference VLP-64 row special-case,
+    image_segmenter.hpp:104-111) — round-4 verdict missing #4: uniform
+    elevation binning silently mis-bins real-KITTI rings."""
+
+    def test_table_matches_reference_ladder(self):
+        from mloam_tpu.core.rangeimage import hdl64_ring_table
+
+        t = np.asarray(hdl64_ring_table())
+        assert t.shape == (64,)
+        assert (np.diff(t) > 0).all()           # ascending, ring 0 bottom
+        # top block (upper 32 beams) spaced 1/3 deg, bottom block 1/2 deg
+        np.testing.assert_allclose(np.diff(t[32:]), 1.0 / 3.0, atol=1e-6)
+        np.testing.assert_allclose(np.diff(t[:32]), 0.5, atol=1e-6)
+        np.testing.assert_allclose(t[-1], 2.0)
+        np.testing.assert_allclose(t[0], -8.83 - 15.5)
+
+    def test_projection_bins_exact_beams_to_their_rings(self):
+        from mloam_tpu.core import rangeimage as RI
+        from mloam_tpu.core.rangeimage import hdl64_ring_table
+
+        table = hdl64_ring_table()
+        model = LidarModel(n_rings=64, n_cols=360, fov_up_deg=2.0,
+                           fov_down_deg=-24.8,
+                           ring_elevations_deg=table)
+        # one point exactly on each beam, spread in azimuth
+        rings = np.arange(64)
+        az = np.deg2rad(rings * 5.0 - 180.0 + 0.1)
+        el = np.deg2rad(np.asarray(table))
+        r = 10.0
+        xyz = np.stack([r * np.cos(el) * np.cos(az),
+                        r * np.cos(el) * np.sin(az),
+                        r * np.sin(el)], axis=-1)
+        img = RI.project(jnp.asarray(xyz, jnp.float32),
+                         jnp.ones((64,), bool), model)
+        got = np.asarray(img.valid)
+        # every point must land, each in ITS ring
+        assert got.sum() == 64
+        ring_idx, _ = np.nonzero(got)
+        np.testing.assert_array_equal(np.sort(ring_idx), rings)
+        # uniform binning on the same points mis-bins most of the ladder
+        uni = LidarModel(n_rings=64, n_cols=360, fov_up_deg=2.0,
+                         fov_down_deg=-24.8)
+        img_u = RI.project(jnp.asarray(xyz, jnp.float32),
+                           jnp.ones((64,), bool), uni)
+        ru, _ = np.nonzero(np.asarray(img_u.valid))
+        correct_u = 0
+        for k, ring in enumerate(rings):
+            p = np.asarray(img_u.xyz).reshape(64, 360, 3)
+            if np.asarray(img_u.valid)[ring].any() and np.allclose(
+                    p[ring][np.asarray(img_u.valid)[ring]], xyz[k],
+                    atol=1e-4):
+                correct_u += 1
+        assert correct_u < 40, correct_u  # the uniform map is badly wrong
+
+    def test_unit_rays_follow_table(self):
+        from mloam_tpu.core import rangeimage as RI
+        from mloam_tpu.core.rangeimage import hdl64_ring_table
+
+        table = hdl64_ring_table()
+        model = LidarModel(n_rings=64, n_cols=360,
+                           ring_elevations_deg=table)
+        rays = np.asarray(RI.unit_rays(model))
+        el = np.rad2deg(np.arcsin(rays[:, 0, 2]))
+        np.testing.assert_allclose(el, np.asarray(table), atol=1e-4)

@@ -243,6 +243,60 @@ class TestDegeneracy:
         info = degeneracy.analyze_blocks(H, 2, threshold=0.5)
         assert bool(info.degenerate[0]) and not bool(info.degenerate[1])
 
+    def test_spectral_gate_separates_gap_from_uniform_dip(self):
+        """The round-5 gate: a gap-separated weak direction freezes; a
+        spectrum that dips UNIFORMLY below the absolute ceiling (the
+        noiseless-turning-course regime that regressed round 4) does not."""
+        # corridor-like: e0 far below e1 (gap), both below ceiling
+        corridor = jnp.diag(jnp.array([80., 400., 500., 600., 700., 800.]))
+        # turning-like: whole spectrum dips together, no gap
+        turning = jnp.diag(jnp.array([90., 120., 140., 150., 160., 170.]))
+        for H6, want_frozen in ((corridor, 1), (turning, 0)):
+            P, vals = degeneracy.block_projector(
+                H6, threshold=175.0, max_freeze=1, rel_gap=0.25)
+            frozen = 6.0 - jnp.trace(P[0])
+            assert round(float(frozen)) == want_frozen, (H6, frozen)
+
+    def test_spectral_gate_absolute_ceiling_still_bounds(self):
+        """A gap-separated direction ABOVE the ceiling never freezes (a
+        strong anisotropic scene is not degeneracy)."""
+        H6 = jnp.diag(jnp.array([200., 900., 1e3, 1e3, 1e3, 1e3]))
+        P, _ = degeneracy.block_projector(H6, threshold=175.0,
+                                          max_freeze=1, rel_gap=0.25)
+        np.testing.assert_allclose(np.asarray(P[0]), np.eye(6), atol=1e-5)
+
+    def test_snap_purity_purifies_frozen_direction(self):
+        """A frozen eigvector with small off-axis impurity snaps to the
+        canonical axis it dominates — the projector then zeroes ONLY that
+        axis (round-4: the raw ~0.3 z-impurity coupled frozen-x error
+        into observable z)."""
+        # weak direction = mostly x-translation with z impurity
+        v = jnp.array([0.95, 0.0, 0.0, 0.0, 0.0, 0.312])
+        v = v / jnp.linalg.norm(v)
+        # complete an orthonormal basis via QR
+        M = jnp.concatenate([v[:, None], jnp.eye(6)[:, :5]], axis=1)
+        Q, _ = jnp.linalg.qr(M)
+        vals = jnp.array([50., 400., 500., 600., 700., 800.])
+        H6 = (Q * vals[None, :]) @ Q.T
+        P, _ = degeneracy.block_projector(H6, threshold=175.0, max_freeze=1,
+                                          rel_gap=0.25, snap_purity=0.8)
+        want = np.eye(6)
+        want[0, 0] = 0.0   # pure x frozen, z untouched
+        np.testing.assert_allclose(np.asarray(P[0]), want, atol=1e-4)
+
+    def test_snap_purity_respects_bound(self):
+        """A genuinely mixed frozen direction (no dominant axis) is NOT
+        snapped — snapping there would freeze the wrong axis."""
+        v = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 1.0]) / jnp.sqrt(2.0)
+        M = jnp.concatenate([v[:, None], jnp.eye(6)[:, :5]], axis=1)
+        Q, _ = jnp.linalg.qr(M)
+        vals = jnp.array([50., 400., 500., 600., 700., 800.])
+        H6 = (Q * vals[None, :]) @ Q.T
+        P, _ = degeneracy.block_projector(H6, threshold=175.0, max_freeze=1,
+                                          rel_gap=0.25, snap_purity=0.8)
+        want = np.eye(6) - np.outer(np.asarray(v), np.asarray(v))
+        np.testing.assert_allclose(np.asarray(P[0]), want, atol=1e-4)
+
 
 class TestScanMatching:
     def test_plane_match_recovers_plane(self):

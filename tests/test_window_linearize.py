@@ -106,7 +106,16 @@ def _make_window(cfg, n_lidars=1, key=jax.random.PRNGKey(0)):
 def _small_cfg(n_lidars=1):
     cfg = cfg_mod.MloamConfig()
     odo = dataclasses.replace(
-        cfg.odometry, window_size=3, opt_window_size=2, gn_iters=2,
+        cfg.odometry, window_size=3, opt_window_size=2,
+        # ONE GN step: the property under test is linearization equality
+        # (analytic == autodiff normal equations). Round 5 disarmed the
+        # default degeneracy remap; without its freeze of the window's
+        # weakest direction, a second LM step amplifies the paths'
+        # ~1e-6 linearization differences chaotically through that
+        # near-singular direction (measured 0.02 divergence at 2 steps —
+        # equally in round 4 whenever the remap was off), which is solve
+        # conditioning, not a Jacobian bug.
+        gn_iters=1,
         cap_frame_corner=CAP_C, cap_frame_surf=CAP_S,
     )
     rig = dataclasses.replace(
